@@ -1,0 +1,87 @@
+"""Benchmark: rendering throughput in rays/sec/chip.
+
+Config 2 of BASELINE.md: Blender lego 800x800, coarse+fine
+(N_samples=64, N_importance=64, hierarchical sample_pdf), eval-style
+deterministic rendering (test_time sigma-only coarse pass, like the
+reference's eval.py batched_inference).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 5e6 (the driver target: >=5M rays/s/chip on v5e).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig
+    from nerf_siren_tpu.models.nerf import init_nerf
+    from nerf_siren_tpu.render.rendering import render_rays
+
+    render_cfg = RenderConfig(
+        n_samples=64, n_importance=64, perturb=0.0, noise_std=0.0,
+        white_back=True, test_time=True,
+    )
+    nerf_cfg = NeRFConfig()
+    compute_dtype = jnp.bfloat16
+
+    params = {
+        "coarse": init_nerf(jax.random.PRNGKey(0), nerf_cfg),
+        "fine": init_nerf(jax.random.PRNGKey(1), nerf_cfg),
+    }
+
+    # lego 800x800 = 640k rays/frame; render in fixed-size tiles
+    H = W = 800
+    n_rays_frame = H * W
+    chunk = 40_000
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(n_rays_frame, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_np = np.concatenate(
+        [np.zeros((n_rays_frame, 3), np.float32) + np.asarray([0, 0, 4.0], np.float32),
+         d,
+         np.full((n_rays_frame, 1), 2.0, np.float32),
+         np.full((n_rays_frame, 1), 6.0, np.float32)], axis=-1)
+
+    tiles = jnp.asarray(rays_np.reshape(n_rays_frame // chunk, chunk, 8))
+
+    @jax.jit
+    def render_frame(params, tiles):
+        def tile_fn(t):
+            out = render_rays(params, t, render_cfg, None,
+                              nerf_cfg=nerf_cfg, compute_dtype=compute_dtype)
+            return out["rgb_fine"], out["depth_fine"]
+        rgb, depth = jax.lax.map(tile_fn, tiles)
+        # scalar checksum: on tunneled platforms block_until_ready is
+        # unreliable — a host fetch of this scalar is the sync point
+        return rgb, depth, jnp.sum(rgb)
+
+    # warmup / compile (fetch forces completion)
+    rgb, depth, chk = render_frame(params, tiles)
+    float(chk)
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        rgb, depth, chk = render_frame(params, tiles)
+    float(chk)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = n_rays_frame * n_iters / dt
+    n_chips = max(1, len(jax.devices()))
+    value = rays_per_sec / n_chips
+    print(json.dumps({
+        "metric": "rays_per_sec_per_chip_lego800_coarse_fine",
+        "value": round(value, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(value / 5e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

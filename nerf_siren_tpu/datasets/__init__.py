@@ -1,0 +1,15 @@
+"""Dataset loaders and the dataset registry.
+
+Mirrors the reference registry (reference: datasets/__init__.py:6-12); loaders
+are registered lazily as they are implemented.
+"""
+from nerf_siren_tpu.datasets import ray_utils, poses  # noqa: F401
+
+dataset_dict = {}
+
+
+def register_dataset(name):
+    def deco(cls):
+        dataset_dict[name] = cls
+        return cls
+    return deco

@@ -1,0 +1,90 @@
+"""Hierarchical inverse-CDF importance sampling.
+
+Semantics match the reference's `sample_pdf` (reference:
+models/rendering.py:22-67) exactly, including its edge cases:
+
+- weights are floored by `eps` before normalization,
+- the CDF is zero-padded on the left,
+- deterministic mode uses a linspace(0, 1, N) of query points,
+- query indices come from searchsorted(cdf, u, side='right') with the CDF
+  treated as a constant (stop_gradient),
+- below/above bin indices are clamped to [0, N_bins-1],
+- interpolation denominators < eps are replaced by 1 (bin has ~zero mass).
+
+Gradients: the reference detaches the searchsorted input and detaches the whole
+result at the call site (rendering.py:244); callers here should stop_gradient
+the returned samples likewise (render_rays does).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_siren_tpu.ops.searchsorted import searchsorted
+
+
+def sample_pdf(
+    bins: jax.Array,
+    weights: jax.Array,
+    n_importance: int,
+    rng: Optional[jax.Array] = None,
+    det: bool = False,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Draw `n_importance` samples per row from the piecewise-constant pdf.
+
+    Args:
+      bins: (N_rays, N_bins) sorted sample positions (interval midpoints).
+      weights: (N_rays, N_bins - 1) unnormalized interval weights.
+      n_importance: number of samples to draw per ray.
+      rng: PRNG key; required unless `det=True`.
+      det: deterministic (evenly spaced u) instead of uniform random u.
+      eps: numerical floor.
+
+    Returns:
+      samples: (N_rays, n_importance), differentiable w.r.t. `bins`
+      and `weights` through the linear interpolation (callers typically
+      stop_gradient the result).
+    """
+    n_rays, n_weights = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)                               # (R, W)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], -1)  # (R, W+1)
+
+    if det:
+        u = jnp.linspace(0.0, 1.0, n_importance, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, (n_rays, n_importance))
+    else:
+        if rng is None:
+            raise ValueError("sample_pdf: rng is required when det=False")
+        u = jax.random.uniform(rng, (n_rays, n_importance), dtype=cdf.dtype)
+
+    # TPU note: no index gathers. take_along_axis over the minor axis lowers
+    # to scalarized gathers on TPU (measured ~100ms for 40k rays); instead the
+    # below/above values are computed directly from the searchsorted
+    # comparison mask as masked min/max reductions, which XLA fuses into a
+    # single vectorized pass over the bins axis.
+    #
+    # cmp[r, v, a] = (cdf[r, a] <= u[r, v])  →  inds = Σ_a cmp (side='right')
+    # below = max(inds-1, 0):  cdf[below] = max_a(cdf[a] where cmp),
+    #                          empty mask → cdf[0] = 0 (the left pad)
+    # above = min(inds, W):    cdf[above] = min_a(cdf[a] where ¬cmp),
+    #                          empty mask → cdf[W] (the last entry)
+    # and identically for the (sorted, same-length) bins.
+    cdf_sg = jax.lax.stop_gradient(cdf)
+    cmp = cdf_sg[..., None, :] <= u[..., :, None]          # (R, V, W+1)
+
+    bins_e = bins[..., None, :]
+    cdf_e = cdf[..., None, :]
+    cdf_below = jnp.max(jnp.where(cmp, cdf_e, cdf_e[..., :1]), axis=-1)
+    cdf_above = jnp.min(jnp.where(cmp, cdf_e[..., -1:], cdf_e), axis=-1)
+    bins_below = jnp.max(jnp.where(cmp, bins_e, bins_e[..., :1]), axis=-1)
+    bins_above = jnp.min(jnp.where(cmp, bins_e[..., -1:], bins_e), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
+
+    return bins_below + (u - cdf_below) / denom * (bins_above - bins_below)

@@ -1,0 +1,72 @@
+"""Device mesh and sharding helpers — the distributed layer.
+
+The reference's distributed story is Lightning DDP over NCCL (reference:
+train.py:47-63): data parallelism with replicated params and gradient
+allreduce. The TPU-native equivalent is a 1-D `jax.sharding.Mesh` over all
+chips with the ray batch sharded on the `data` axis and params replicated;
+jit's partitioner inserts the psum over ICI automatically when grads of
+replicated params are formed from sharded data.
+
+Multi-host: call `jax.distributed.initialize()` before building the mesh and
+feed per-host shards (each host loads its slice of the ray buffer); the mesh
+spans all processes' devices.
+
+No TP/PP/EP axes are needed for parity (SURVEY §2.5) — the NeRF MLP is tiny
+and rays are embarrassingly parallel — but `make_mesh` accepts arbitrary axis
+shapes so model-sharded configs (e.g. sharding the StyleGAN2 synthesis) can
+reuse it.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    axis_shapes: Optional[Tuple[int, ...]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a mesh; default is all devices on one 'data' axis."""
+    if devices is None:
+        devices = jax.devices()
+    if axis_shapes is None:
+        axis_shapes = (len(devices),)
+    dev_array = np.asarray(devices).reshape(axis_shapes)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (ray/batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_rays(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host array (or pytree of arrays sharing a leading ray dim) so
+    rows are split across devices. Leading dim must divide by mesh size."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate params/optimizer state on every device."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def cross_replica_param_hash(params) -> jax.Array:
+    """Debug check analogous to DDP consistency verification (reference:
+    torch_utils/misc.py:182-196): a scalar fingerprint of the params; compare
+    across hosts/restarts to detect divergence."""
+    leaves = jax.tree_util.tree_leaves(params)
+    acc = jax.numpy.zeros((), jax.numpy.float64 if jax.config.jax_enable_x64 else jax.numpy.float32)
+    for leaf in leaves:
+        acc = acc + jax.numpy.sum(leaf.astype(acc.dtype) * 1e-3) + jax.numpy.sum(jax.numpy.abs(leaf).astype(acc.dtype)) * 1e-6
+    return acc

@@ -1,0 +1,82 @@
+"""Checkpoint save/load with name-prefix partial loading.
+
+The reference stores one flat Lightning state_dict and warm-starts submodels
+by filtering name prefixes (reference: utils/__init__.py:56-86,
+utils/save_weights_only.py). Here checkpoints are msgpack-serialized pytrees
+keyed by model name ({'nerf_coarse': ..., 'nerf_fine': ..., 'points': ...,
+'eg3d_renderer': ...}), so partial loads are dict selections and the
+"weights-only portable scene" export is the natural format (~5 MB models).
+
+Full training resume additionally stores step / optimizer state.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, tree: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = serialization.msgpack_serialize(_to_numpy(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def extract_model_state(
+    ckpt: Dict[str, Any],
+    model_name: str,
+    prefixes_to_ignore: Iterable[str] = ("loss",),
+) -> Optional[Dict[str, Any]]:
+    """Select one model's params from a checkpoint (reference: utils/__init__.py:56-71)."""
+    if model_name in tuple(prefixes_to_ignore):
+        return None
+    # full-resume checkpoints nest models under 'params'
+    src = ckpt.get("params", ckpt)
+    return src.get(model_name)
+
+
+def merge_params(params: Any, loaded: Any) -> Any:
+    """Non-strict merge: take loaded leaves where structure+shape match,
+    keep existing params elsewhere (reference: utils/__init__.py:73-86)."""
+    if loaded is None:
+        return params
+    if isinstance(params, dict) and isinstance(loaded, dict):
+        return {k: merge_params(v, loaded.get(k)) if k in loaded else v
+                for k, v in params.items()}
+    if isinstance(params, (list, tuple)) and isinstance(loaded, (list, tuple, dict)):
+        # msgpack restores lists as dicts with int-string keys in some versions
+        if isinstance(loaded, dict):
+            loaded = [loaded.get(str(i), loaded.get(i)) for i in range(len(params))]
+        out = [merge_params(p, l) for p, l in zip(params, loaded)]
+        return type(params)(out) if isinstance(params, tuple) else out
+    # leaves
+    try:
+        if hasattr(params, "shape") and hasattr(loaded, "shape") and params.shape != loaded.shape:
+            return params
+    except Exception:
+        return params
+    return loaded
+
+
+def load_ckpt(params: Any, path: str, model_name: str,
+              prefixes_to_ignore: Iterable[str] = ("loss",)) -> Any:
+    """Warm-start `params` for `model_name` from a checkpoint file, non-strict."""
+    if not path:
+        return params
+    ckpt = load_checkpoint(path)
+    return merge_params(params, extract_model_state(ckpt, model_name, prefixes_to_ignore))

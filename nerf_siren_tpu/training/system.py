@@ -1,0 +1,161 @@
+"""Training systems — the TPU-native analogue of the reference's Lightning
+modules (reference: system.py:172-306 NeRFSystem and friends).
+
+A system owns: model configs, param init, the jitted train/eval steps, and the
+sharding layout. It is deliberately NOT a module/trainer framework: state is an
+explicit `TrainState` pytree threaded through pure steps, so the whole update
+(forward, loss, backward, psum over the mesh, optimizer) is one compiled XLA
+program per step.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh
+
+from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
+from nerf_siren_tpu.models.nerf import init_nerf
+from nerf_siren_tpu.parallel.mesh import data_sharding, make_mesh, replicate, shard_rays
+from nerf_siren_tpu.render.rendering import render_rays, render_rays_chunked
+from nerf_siren_tpu.training.losses import loss_dict
+from nerf_siren_tpu.training.metrics import psnr
+from nerf_siren_tpu.training.optimizers import get_optimizer, make_lr_schedule
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+class NeRFSystem:
+    """Vanilla (and semantic-ready) NeRF trainer.
+
+    Parity with reference system.py:172-306: two embeddings (10/4 freqs),
+    coarse (+fine) NeRF, MSE loss, PSNR logging; plus the TPU data-parallel
+    layout of SURVEY §2.5 (rays sharded, params replicated).
+    """
+
+    def __init__(
+        self,
+        render_cfg: RenderConfig = RenderConfig(),
+        train_cfg: TrainConfig = TrainConfig(),
+        nerf_cfg: NeRFConfig = NeRFConfig(),
+        steps_per_epoch: int = 1000,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.render_cfg = render_cfg
+        self.train_cfg = train_cfg
+        self.nerf_cfg = nerf_cfg
+        self.steps_per_epoch = steps_per_epoch
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tx = get_optimizer(train_cfg, steps_per_epoch)
+        self.lr_schedule = make_lr_schedule(train_cfg, steps_per_epoch)
+        self.loss_fn = loss_dict[train_cfg.loss_type]
+        self._train_step = None
+        self._render_fn = None
+
+    # -- state ----------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        k_coarse, k_fine = jax.random.split(rng)
+        params = {"coarse": init_nerf(k_coarse, self.nerf_cfg)}
+        if self.render_cfg.n_importance > 0:
+            params["fine"] = init_nerf(k_fine, self.nerf_cfg)
+        return params
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        params = self.init_params(rng)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+        )
+        return replicate(state, self.mesh)
+
+    # -- steps ----------------------------------------------------------------
+
+    def _make_train_step(self):
+        render_cfg = self.render_cfg.replace(test_time=False)
+        nerf_cfg = self.nerf_cfg
+        tx, loss_fn = self.tx, self.loss_fn
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, rays: jax.Array, rgbs: jax.Array,
+                       rng: jax.Array, cls_target: Optional[jax.Array] = None):
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def compute_loss(params):
+                out = render_rays(params, rays, render_cfg, step_rng, nerf_cfg=nerf_cfg)
+                losses = loss_fn(out, rgbs, cls_target=cls_target)
+                return losses["sum"], (losses, out)
+
+            grads, (losses, out) = jax.grad(compute_loss, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+
+            rgb_key = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
+            metrics = {f"train/{k}_loss" if k != "sum" else "train/loss": v
+                       for k, v in losses.items()}
+            metrics["train/psnr"] = psnr(jax.lax.stop_gradient(out[rgb_key]), rgbs)
+            new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+            return new_state, metrics
+
+        return train_step
+
+    def train_step(self, state: TrainState, batch: Dict[str, np.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        sharded = shard_rays(
+            {"rays": jnp.asarray(batch["rays"]), "rgbs": jnp.asarray(batch["rgbs"])},
+            self.mesh,
+        )
+        cls_t = batch.get("cls")
+        if cls_t is not None:
+            cls_t = shard_rays(jnp.asarray(cls_t), self.mesh)
+        return self._train_step(state, sharded["rays"], sharded["rgbs"], rng, cls_t)
+
+    # -- inference ------------------------------------------------------------
+
+    def render(self, params, rays: np.ndarray, test_time: bool = False,
+               rng: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
+        """Chunked full-image render (val/eval path). Deterministic by default:
+        perturb=0, noise=0 (reference eval.py uses the same settings)."""
+        cfg = self.render_cfg.replace(test_time=test_time, perturb=0.0, noise_std=0.0)
+        if self._render_fn is None:
+            @functools.partial(jax.jit, static_argnames=("cfg",))
+            def render_fn(params, rays, cfg):
+                return render_rays_chunked(params, rays, cfg, None, nerf_cfg=self.nerf_cfg)
+            self._render_fn = render_fn
+        n = rays.shape[0]
+        pad = -n % self.render_cfg.chunk if n > self.render_cfg.chunk else 0
+        out = self._render_fn(params, jnp.asarray(rays), cfg)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def current_lr(self, state: TrainState) -> float:
+        return float(self.lr_schedule(int(state.step)))
+
+
+def epoch_iterator(all_rays: np.ndarray, all_rgbs: np.ndarray, batch_size: int,
+                   seed: int, epoch: int, extras: Optional[Dict[str, np.ndarray]] = None):
+    """Host-side shuffled batch iterator over the precomputed ray buffer —
+    replaces the torch DataLoader (reference: system.py:237-247). Drops the
+    ragged tail so every step has static shapes."""
+    n = all_rays.shape[0]
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+    perm = rng.permutation(n)
+    n_batches = n // batch_size
+    for b in range(n_batches):
+        idx = perm[b * batch_size:(b + 1) * batch_size]
+        batch = {"rays": all_rays[idx], "rgbs": all_rgbs[idx]}
+        if extras:
+            for k, v in extras.items():
+                batch[k] = v[idx]
+        yield batch
