@@ -1,0 +1,116 @@
+"""Evaluation / rendering CLI (reference: eval.py:26-198).
+
+Loads nerf_coarse/nerf_fine from a checkpoint by name prefix, renders every
+item of the chosen split with the sigma-only coarse fast path, writes PNG
+frames + an animated GIF, optional PFM depth dumps, and the mean PSNR when
+ground truth exists.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import imageio
+import numpy as np
+
+
+def get_opts(args=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--root_dir', type=str, required=True)
+    parser.add_argument('--dataset_name', type=str, default='blender',
+                        choices=['blender', 'blender_cls_ib', 'llff',
+                                 'llff_cls', 'llff_cls_ib', 'replica'])
+    parser.add_argument('--scene_name', type=str, default='test',
+                        help='scene name, used as output folder name')
+    parser.add_argument('--split', type=str, default='test')
+    parser.add_argument('--img_wh', nargs='+', type=int, default=[800, 800])
+    parser.add_argument('--spheric_poses', default=False, action='store_true')
+    parser.add_argument('--N_samples', type=int, default=64)
+    parser.add_argument('--N_importance', type=int, default=128)
+    parser.add_argument('--use_disp', default=False, action='store_true')
+    parser.add_argument('--chunk', type=int, default=32 * 1024)
+    parser.add_argument('--ckpt_path', type=str, required=True)
+    parser.add_argument('--save_depth', default=False, action='store_true')
+    parser.add_argument('--depth_format', type=str, default='pfm',
+                        choices=['pfm', 'bytes'])
+    parser.add_argument('--compute_dtype', type=str, default='bfloat16',
+                        choices=['float32', 'bfloat16'])
+    return parser.parse_args(args)
+
+
+def main(hparams):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig
+    from nerf_siren_tpu.datasets import dataset_dict
+    from nerf_siren_tpu.datasets.depth_utils import save_pfm
+    from nerf_siren_tpu.models.nerf import init_nerf
+    from nerf_siren_tpu.render.rendering import render_rays_chunked
+    from nerf_siren_tpu.training.checkpoints import load_ckpt
+    from nerf_siren_tpu.training.metrics import psnr as psnr_fn
+
+    w, h = hparams.img_wh
+    kwargs = dict(root_dir=hparams.root_dir, split=hparams.split,
+                  img_wh=tuple(hparams.img_wh))
+    if hparams.dataset_name.startswith('llff'):
+        kwargs['spheric_poses'] = hparams.spheric_poses
+    dataset = dataset_dict[hparams.dataset_name](**kwargs)
+
+    nerf_cfg = NeRFConfig()
+    render_cfg = RenderConfig(
+        n_samples=hparams.N_samples, n_importance=hparams.N_importance,
+        use_disp=hparams.use_disp, perturb=0.0, noise_std=0.0,
+        white_back=dataset.white_back, test_time=hparams.N_importance > 0,
+        chunk=hparams.chunk,
+    )
+    compute_dtype = jnp.bfloat16 if hparams.compute_dtype == 'bfloat16' else None
+
+    params = {'coarse': init_nerf(jax.random.PRNGKey(0), nerf_cfg)}
+    params['coarse'] = load_ckpt(params['coarse'], hparams.ckpt_path, 'nerf_coarse')
+    if hparams.N_importance > 0:
+        params['fine'] = load_ckpt(init_nerf(jax.random.PRNGKey(1), nerf_cfg),
+                                   hparams.ckpt_path, 'nerf_fine')
+
+    @functools.partial(jax.jit, static_argnames=())
+    def render(params, rays):
+        return render_rays_chunked(params, rays, render_cfg, None,
+                                   nerf_cfg=nerf_cfg, compute_dtype=compute_dtype)
+
+    out_dir = os.path.join('results', hparams.dataset_name, hparams.scene_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    imgs, psnrs = [], []
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        out = render(params, jnp.asarray(sample['rays']))
+        key = 'rgb_fine' if 'rgb_fine' in out else 'rgb_coarse'
+        pred = np.asarray(out[key], np.float32).reshape(h, w, 3)
+        img = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
+        imgs.append(img)
+        imageio.imwrite(os.path.join(out_dir, f'{i:03d}.png'), img)
+
+        if hparams.save_depth:
+            depth = np.asarray(out[key.replace('rgb', 'depth')], np.float32).reshape(h, w)
+            if hparams.depth_format == 'pfm':
+                save_pfm(os.path.join(out_dir, f'depth_{i:03d}.pfm'), depth)
+            else:
+                with open(os.path.join(out_dir, f'depth_{i:03d}'), 'wb') as f:
+                    f.write(depth.tobytes())
+
+        if 'rgbs' in sample:
+            gt = sample['rgbs'].reshape(h, w, 3)
+            psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt))))
+        print(f'rendered {i + 1}/{len(dataset)}', flush=True)
+
+    imageio.mimsave(os.path.join(out_dir, f'{hparams.scene_name}.gif'),
+                    imgs, duration=1000 / 30)
+    if psnrs:
+        print(f'Mean PSNR: {np.mean(psnrs):.2f}')
+    return np.mean(psnrs) if psnrs else None
+
+
+if __name__ == '__main__':
+    main(get_opts())

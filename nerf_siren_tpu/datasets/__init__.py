@@ -3,8 +3,6 @@
 Mirrors the reference registry (reference: datasets/__init__.py:6-12); loaders
 are registered lazily as they are implemented.
 """
-from nerf_siren_tpu.datasets import ray_utils, poses  # noqa: F401
-
 dataset_dict = {}
 
 
@@ -13,3 +11,8 @@ def register_dataset(name):
         dataset_dict[name] = cls
         return cls
     return deco
+
+
+from nerf_siren_tpu.datasets import ray_utils, poses  # noqa: E402,F401
+from nerf_siren_tpu.datasets.blender import BlenderDataset  # noqa: E402,F401
+from nerf_siren_tpu.datasets.llff import LLFFDataset  # noqa: E402,F401

@@ -80,3 +80,45 @@ def load_ckpt(params: Any, path: str, model_name: str,
         return params
     ckpt = load_checkpoint(path)
     return merge_params(params, extract_model_state(ckpt, model_name, prefixes_to_ignore))
+
+
+# -- full training-state checkpoints (resume) ---------------------------------
+
+_MODEL_KEY_MAP = {"coarse": "nerf_coarse", "fine": "nerf_fine",
+                  "points": "points", "eg3d_renderer": "eg3d_renderer"}
+
+
+def params_to_named(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Internal param keys → the reference's checkpoint naming
+    (nerf_coarse/nerf_fine/points/eg3d_renderer, SURVEY §5.4)."""
+    return {_MODEL_KEY_MAP.get(k, k): v for k, v in params.items()}
+
+
+def named_to_params(named: Dict[str, Any]) -> Dict[str, Any]:
+    inv = {v: k for k, v in _MODEL_KEY_MAP.items()}
+    return {inv.get(k, k): v for k, v in named.items()}
+
+
+def save_train_state(path: str, state: Any, epoch: int) -> None:
+    """Save a full TrainState (params + optimizer + step) for exact resume
+    (reference: Trainer(resume_from_checkpoint=...), train.py:43,57)."""
+    tree = {
+        "params": params_to_named(state.params),
+        "opt_state": serialization.to_state_dict(_to_numpy(state.opt_state)),
+        "step": np.asarray(state.step),
+        "epoch": np.asarray(epoch),
+    }
+    save_checkpoint(path, tree)
+
+
+def restore_train_state(path: str, state_template: Any):
+    """Restore (TrainState, next_epoch) into the template's structure."""
+    ckpt = load_checkpoint(path)
+    params = merge_params(state_template.params, named_to_params(ckpt["params"]))
+    opt_state = serialization.from_state_dict(state_template.opt_state, ckpt["opt_state"])
+    new_state = state_template.replace(
+        step=jax.numpy.asarray(ckpt["step"]),
+        params=params,
+        opt_state=opt_state,
+    )
+    return new_state, int(ckpt["epoch"])

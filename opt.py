@@ -1,0 +1,81 @@
+"""Training CLI flags — same surface as the reference (reference: opt.py:3-87)."""
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+
+    parser.add_argument('--root_dir', type=str, required=True,
+                        help='root directory of dataset')
+    parser.add_argument('--mode', default='normal', type=str,
+                        choices=['d3', 'd3_ib', 'normal', 'eg3d'],
+                        help='which training system to use')
+    parser.add_argument('--dataset_name', type=str, default='blender',
+                        choices=['blender', 'blender_cls_ib', 'llff',
+                                 'llff_cls', 'llff_cls_ib', 'replica'],
+                        help='which dataset to train/val')
+    parser.add_argument('-sn', '--semantic_network', type=str, default='pointnet',
+                        choices=['pointnet', 'conv3d'],
+                        help='network for semantic features (d3 modes)')
+    parser.add_argument('--pretrained', type=str, default=None,
+                        help='pretrained-model ckpt to warm-start from')
+    parser.add_argument('--img_wh', nargs='+', type=int, default=[800, 800],
+                        help='resolution (img_w, img_h) of the image')
+    parser.add_argument('--spheric_poses', default=False, action='store_true',
+                        help='whether images are taken in spheric poses (llff)')
+
+    parser.add_argument('--N_samples', type=int, default=64,
+                        help='number of coarse samples')
+    parser.add_argument('--N_importance', type=int, default=128,
+                        help='number of additional fine samples')
+    parser.add_argument('--use_disp', default=False, action='store_true',
+                        help='use disparity depth sampling')
+    parser.add_argument('--perturb', type=float, default=1.0,
+                        help='factor to perturb depth sampling points')
+    parser.add_argument('--noise_std', type=float, default=1.0,
+                        help='std dev of noise added to regularize sigma')
+
+    parser.add_argument('--loss_type', type=str, default='mse',
+                        choices=['mse', 'msece', 'msenll'])
+
+    parser.add_argument('--batch_size', type=int, default=1024)
+    parser.add_argument('--chunk', type=int, default=32 * 1024,
+                        help='rays per compiled tile (memory bound)')
+    parser.add_argument('--num_epochs', type=int, default=16)
+    parser.add_argument('--num_chips', '--num_gpus', dest='num_chips', type=int, default=0,
+                        help='number of TPU chips for the data mesh (0 = all)')
+
+    parser.add_argument('--ckpt_path', type=str, default=None,
+                        help='checkpoint to fully resume training from')
+    parser.add_argument('--prefixes_to_ignore', nargs='+', type=str, default=['loss'],
+                        help='prefixes to ignore when loading checkpoints')
+
+    parser.add_argument('--optimizer', type=str, default='adam',
+                        choices=['sgd', 'adam', 'radam', 'ranger'])
+    parser.add_argument('--lr', type=float, default=5e-4)
+    parser.add_argument('--momentum', type=float, default=0.9)
+    parser.add_argument('--weight_decay', type=float, default=0.0)
+    parser.add_argument('--lr_scheduler', type=str, default='steplr',
+                        choices=['steplr', 'cosine', 'poly'])
+    parser.add_argument('--warmup_multiplier', type=float, default=1.0)
+    parser.add_argument('--warmup_epochs', type=int, default=0)
+    parser.add_argument('--decay_step', nargs='+', type=int, default=[20])
+    parser.add_argument('--decay_gamma', type=float, default=0.1)
+    parser.add_argument('--poly_exp', type=float, default=0.9)
+
+    parser.add_argument('--exp_name', type=str, default='exp')
+    parser.add_argument('--seed', type=int, default=42)
+    parser.add_argument('--val_every', type=int, default=1,
+                        help='validate every N epochs')
+    parser.add_argument('--save_topk', type=int, default=100,
+                        help='keep the best K checkpoints by val loss')
+    parser.add_argument('--compute_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='matmul operand dtype (f32 accumulate either way)')
+    return parser
+
+
+def get_opts(args=None):
+    return build_parser().parse_args(args)

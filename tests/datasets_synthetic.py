@@ -1,0 +1,100 @@
+"""Synthetic dataset fixtures: a ray-traced sphere scene written to disk in
+Blender-JSON and LLFF formats, so the real loaders can be exercised end-to-end
+without shipping datasets (SURVEY §4: golden values from closed-form fields).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def _look_at(eye, target=np.zeros(3), up=np.array([0.0, 0.0, 1.0])):
+    """OpenGL-style c2w (camera looks down -z), right-handed."""
+    z = eye - target
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z, eye], 1)  # (3, 4)
+
+
+def render_sphere_image(c2w, h, w, focal, radius=1.0, color=(1.0, 0.2, 0.2)):
+    """Analytic ray-traced Lambertian sphere at origin; returns RGBA uint8."""
+    j, i = np.meshgrid(np.arange(h, dtype=np.float32),
+                       np.arange(w, dtype=np.float32), indexing="ij")
+    dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal, -np.ones_like(i)], -1)
+    dirs = dirs @ c2w[:, :3].T
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = c2w[:, 3]
+
+    b = 2 * np.sum(dirs * o, -1)
+    c = np.sum(o * o) - radius ** 2
+    disc = b ** 2 - 4 * c
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
+    pts = o + dirs * t[..., None]
+    normal = pts / radius
+    light = np.array([0.5, 0.5, 0.8])
+    light = light / np.linalg.norm(light)
+    lam = np.clip(np.sum(normal * light, -1), 0.1, 1.0)
+    rgb = np.where(hit[..., None], np.asarray(color) * lam[..., None], 1.0)
+    alpha = hit.astype(np.float32)
+    rgba = np.concatenate([rgb, alpha[..., None]], -1)
+    return (np.clip(rgba, 0, 1) * 255).astype(np.uint8)
+
+
+def make_blender_dataset(root, n_train=6, n_val=2, hw=40, cam_dist=4.0):
+    """Write transforms_{train,val,test}.json + PNGs for a sphere scene."""
+    for d in ("train", "val", "test"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    camera_angle_x = 0.6911112070083618  # lego's fov
+    focal800 = 0.5 * 800 / np.tan(0.5 * camera_angle_x)
+    focal = focal800 * hw / 800
+
+    def write_split(split, n, phase):
+        frames = []
+        for k in range(n):
+            theta = 2 * np.pi * k / n + phase
+            eye = cam_dist * np.array([np.cos(theta), np.sin(theta), 0.5])
+            c2w = _look_at(eye)
+            img = render_sphere_image(c2w, hw, hw, focal)
+            name = f"{split}/r_{k}"
+            Image.fromarray(img).save(os.path.join(root, f"{name}.png"))
+            mat = np.concatenate([c2w, [[0, 0, 0, 1.0]]], 0)
+            frames.append({"file_path": f"./{name}",
+                           "transform_matrix": mat.tolist()})
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f)
+
+    write_split("train", n_train, 0.0)
+    write_split("val", n_val, 0.3)
+    write_split("test", n_val, 0.6)
+    return root
+
+
+def make_llff_dataset(root, n_imgs=5, hw=(40, 30), cam_dist=4.0):
+    """Write poses_bounds.npy + images/ for a forward-facing sphere capture."""
+    h, w = hw[1], hw[0]
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    focal = 1.2 * w
+    poses_bounds = []
+    for k in range(n_imgs):
+        off = 0.4 * (k - n_imgs // 2) / max(1, n_imgs // 2)
+        eye = np.array([off, 0.2 * off, cam_dist])
+        c2w = _look_at(eye, up=np.array([0.0, 1.0, 0.0]))
+        img = render_sphere_image(c2w, h, w, focal)
+        Image.fromarray(img[..., :3]).save(os.path.join(root, "images", f"img_{k:03d}.png"))
+        # LLFF stores "down right back" axes: [-y, x, z] columns of our
+        # "right up back" pose
+        x, y, z, t = c2w[:, 0], c2w[:, 1], c2w[:, 2], c2w[:, 3]
+        pose_drb = np.stack([-y, x, z, t], 1)  # (3, 4)
+        hwf = np.array([[h], [w], [focal]], np.float32)
+        mat = np.concatenate([pose_drb, hwf], 1)  # (3, 5)
+        near = cam_dist - 1.5
+        far = cam_dist + 1.5
+        poses_bounds.append(np.concatenate([mat.flatten(), [near, far]]))
+    np.save(os.path.join(root, "poses_bounds.npy"), np.stack(poses_bounds))
+    return root

@@ -1,0 +1,184 @@
+"""Training CLI — the analogue of the reference driver (reference: train.py:13-68).
+
+Builds the dataset, system and mesh, runs the epoch loop with per-epoch
+validation (GT/pred/depth image triplet to TensorBoard, reference:
+system.py:277-306), saves top-K checkpoints by val loss, and supports full
+resume (--ckpt_path) and warm starts (--pretrained).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from opt import get_opts
+
+
+def build_system(hparams, white_back: bool, steps_per_epoch: int, n_classes: int = 0):
+    import jax.numpy as jnp
+
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
+    from nerf_siren_tpu.parallel.mesh import make_mesh
+    from nerf_siren_tpu.training.system import NeRFSystem
+
+    render_cfg = RenderConfig(
+        n_samples=hparams.N_samples,
+        n_importance=hparams.N_importance,
+        use_disp=hparams.use_disp,
+        perturb=hparams.perturb,
+        noise_std=hparams.noise_std,
+        white_back=white_back,
+        chunk=hparams.chunk,
+    )
+    train_cfg = TrainConfig(
+        optimizer=hparams.optimizer,
+        lr=hparams.lr,
+        momentum=hparams.momentum,
+        weight_decay=hparams.weight_decay,
+        lr_scheduler=hparams.lr_scheduler,
+        decay_step=tuple(hparams.decay_step),
+        decay_gamma=hparams.decay_gamma,
+        warmup_epochs=hparams.warmup_epochs,
+        warmup_multiplier=hparams.warmup_multiplier,
+        poly_exp=hparams.poly_exp,
+        num_epochs=hparams.num_epochs,
+        batch_size=hparams.batch_size,
+        loss_type=hparams.loss_type,
+        seed=hparams.seed,
+    )
+    nerf_cfg = NeRFConfig(n_classes=n_classes)
+    devices = jax.devices()
+    if hparams.num_chips and hparams.num_chips < len(devices):
+        devices = devices[: hparams.num_chips]
+    mesh = make_mesh(devices=devices)
+
+    if hparams.mode == "normal":
+        system = NeRFSystem(render_cfg, train_cfg, nerf_cfg, steps_per_epoch, mesh)
+    elif hparams.mode in ("d3", "d3_ib"):
+        from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
+
+        system = NeRF3DSystem(render_cfg, train_cfg, nerf_cfg, steps_per_epoch, mesh,
+                              semantic_network=hparams.semantic_network)
+    elif hparams.mode == "eg3d":
+        from nerf_siren_tpu.training.eg3d_system import EG3DSystem
+
+        system = EG3DSystem(render_cfg, train_cfg, steps_per_epoch, mesh)
+    else:
+        raise ValueError(f"unknown mode {hparams.mode!r}")
+    return system
+
+
+def validate(system, state, val_ds, writer, step: int, img_wh, max_images: int = 1):
+    from nerf_siren_tpu.training.metrics import psnr as psnr_fn
+    from nerf_siren_tpu.utils.visualization import visualize_depth
+
+    w, h = img_wh
+    losses, psnrs = [], []
+    for i in range(min(len(val_ds), max_images)):
+        sample = val_ds[i]
+        out = system.render(state.params, sample["rays"])
+        key = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
+        pred = out[key].reshape(h, w, 3)
+        gt = sample["rgbs"].reshape(h, w, 3)
+        mask = sample.get("valid_mask")
+        mask3 = np.broadcast_to(mask.reshape(h, w, 1), gt.shape) if mask is not None else None
+        losses.append(float(np.mean((pred - gt) ** 2)))
+        import jax.numpy as jnp
+        psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt),
+                                   jnp.asarray(mask3) if mask3 is not None else None)))
+        if writer is not None and i == 0:
+            depth = out[key.replace("rgb", "depth")].reshape(h, w)
+            depth_vis = visualize_depth(depth).astype(np.float32) / 255.0
+            triplet = np.concatenate([gt, pred, depth_vis], axis=1)  # side by side
+            writer.add_image("val/GT_pred_depth", np.clip(triplet, 0, 1),
+                             step, dataformats="HWC")
+    val_loss = float(np.mean(losses))
+    val_psnr = float(np.mean(psnrs))
+    if writer is not None:
+        writer.add_scalar("val/loss", val_loss, step)
+        writer.add_scalar("val/psnr", val_psnr, step)
+    return val_loss, val_psnr
+
+
+def main(hparams):
+    from nerf_siren_tpu.datasets import dataset_dict
+    from nerf_siren_tpu.training import checkpoints as ckpt_lib
+    from nerf_siren_tpu.training.system import epoch_iterator
+
+    dataset_cls = dataset_dict[hparams.dataset_name]
+    kwargs = dict(root_dir=hparams.root_dir, img_wh=tuple(hparams.img_wh))
+    if hparams.dataset_name.startswith("llff"):
+        kwargs["spheric_poses"] = hparams.spheric_poses
+    train_ds = dataset_cls(split="train", **kwargs)
+    val_ds = dataset_cls(split="val", **kwargs)
+
+    steps_per_epoch = max(1, len(train_ds.all_rays) // hparams.batch_size)
+    n_classes = getattr(train_ds, "n_classes", 0)
+    system = build_system(hparams, train_ds.white_back, steps_per_epoch, n_classes)
+
+    state = system.init_state(jax.random.PRNGKey(hparams.seed))
+    start_epoch = 0
+    if hparams.ckpt_path:  # full resume
+        state, start_epoch = ckpt_lib.restore_train_state(hparams.ckpt_path, state)
+        print(f"resumed from {hparams.ckpt_path} at epoch {start_epoch}, step {int(state.step)}")
+    elif hparams.pretrained:  # warm start model weights only
+        params = dict(state.params)
+        params["coarse"] = ckpt_lib.load_ckpt(params["coarse"], hparams.pretrained,
+                                              "nerf_coarse", hparams.prefixes_to_ignore)
+        if "fine" in params:
+            params["fine"] = ckpt_lib.load_ckpt(params["fine"], hparams.pretrained,
+                                                "nerf_fine", hparams.prefixes_to_ignore)
+        state = state.replace(params=params)
+        print(f"warm-started from {hparams.pretrained}")
+
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(os.path.join("logs", hparams.exp_name))
+    except Exception:
+        writer = None
+
+    ckpt_dir = os.path.join("ckpts", hparams.exp_name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    saved: list = []  # (val_loss, path)
+
+    rng = jax.random.PRNGKey(hparams.seed + 1)
+    extras = {"cls": train_ds.all_cls} if hasattr(train_ds, "all_cls") else None
+    for epoch in range(start_epoch, hparams.num_epochs):
+        t0 = time.time()
+        metrics: Dict = {}
+        for batch in epoch_iterator(train_ds.all_rays, train_ds.all_rgbs,
+                                    hparams.batch_size, hparams.seed, epoch, extras):
+            state, metrics = system.train_step(state, batch, rng)
+        step = int(state.step)
+        if writer is not None:
+            for k, v in metrics.items():
+                writer.add_scalar(k, float(v), step)
+            writer.add_scalar("lr", system.current_lr(state), step)
+        dt = time.time() - t0
+        line = f"epoch {epoch} step {step} " + " ".join(
+            f"{k}={float(v):.4f}" for k, v in metrics.items()) + f" ({dt:.1f}s)"
+
+        if (epoch + 1) % hparams.val_every == 0 or epoch == hparams.num_epochs - 1:
+            val_loss, val_psnr = validate(system, state, val_ds, writer, step,
+                                          tuple(hparams.img_wh))
+            line += f" val/loss={val_loss:.4f} val/psnr={val_psnr:.2f}"
+            path = os.path.join(ckpt_dir, f"epoch={epoch}-step={step}.msgpack")
+            ckpt_lib.save_train_state(path, state, epoch + 1)
+            saved.append((val_loss, path))
+            saved.sort(key=lambda t: t[0])
+            for _, stale in saved[hparams.save_topk:]:
+                if os.path.exists(stale):
+                    os.remove(stale)
+            saved = saved[: hparams.save_topk]
+        print(line, flush=True)
+
+    if writer is not None:
+        writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    main(get_opts())
