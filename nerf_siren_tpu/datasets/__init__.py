@@ -15,4 +15,7 @@ def register_dataset(name):
 
 from nerf_siren_tpu.datasets import ray_utils, poses  # noqa: E402,F401
 from nerf_siren_tpu.datasets.blender import BlenderDataset  # noqa: E402,F401
+from nerf_siren_tpu.datasets.blender_cls import BlenderClsImgBatchDataset  # noqa: E402,F401
 from nerf_siren_tpu.datasets.llff import LLFFDataset  # noqa: E402,F401
+from nerf_siren_tpu.datasets.llff_cls import LLFFClsDataset, LLFFClsImgBatchDataset  # noqa: E402,F401
+from nerf_siren_tpu.datasets.replica import ReplicaDatasetCache  # noqa: E402,F401

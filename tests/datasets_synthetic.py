@@ -98,3 +98,103 @@ def make_llff_dataset(root, n_imgs=5, hw=(40, 30), cam_dist=4.0):
         poses_bounds.append(np.concatenate([mat.flatten(), [near, far]]))
     np.save(os.path.join(root, "poses_bounds.npy"), np.stack(poses_bounds))
     return root
+
+
+def sphere_class_map(c2w, h, w, focal, radius=1.0):
+    """Analytic class map: 0 background, 1 x<0 hemisphere, 2 x>0 (both
+    hemispheres visible from any orbit camera, unlike a z split)."""
+    j, i = np.meshgrid(np.arange(h, dtype=np.float32),
+                       np.arange(w, dtype=np.float32), indexing="ij")
+    dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal, -np.ones_like(i)], -1)
+    dirs = dirs @ c2w[:, :3].T
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = c2w[:, 3]
+    b = 2 * np.sum(dirs * o, -1)
+    c = np.sum(o * o) - radius ** 2
+    disc = b ** 2 - 4 * c
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
+    pts = o + dirs * t[..., None]
+    return np.where(hit, np.where(pts[..., 0] > 0, 2, 1), 0).astype(np.uint8)
+
+
+def make_blender_cls_dataset(root, n_train=4, hw=40, cam_dist=4.0):
+    """Blender scene + labels/ dir (class-id x 10 PNGs, reference format)."""
+    make_blender_dataset(root, n_train=n_train, n_val=2, hw=hw, cam_dist=cam_dist)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    camera_angle_x = 0.6911112070083618
+    focal = 0.5 * 800 / np.tan(0.5 * camera_angle_x) * hw / 800
+    for split, n, phase in (("train", n_train, 0.0), ("val", 2, 0.3), ("test", 2, 0.6)):
+        for k in range(n):
+            theta = 2 * np.pi * k / n + phase
+            eye = cam_dist * np.array([np.cos(theta), np.sin(theta), 0.5])
+            c2w = _look_at(eye)
+            cls = sphere_class_map(c2w, hw, hw, focal)
+            Image.fromarray((cls * 10).astype(np.uint8)).save(
+                os.path.join(root, "labels", f"r_{k}.png"))
+    return root
+
+
+def make_llff_cls_dataset(root, hw=(40, 30), cam_dist=4.0):
+    """LLFF scene + edit_parse/raw_parse labels for the edited-ids frames.
+
+    Image names img_{id:03d} with ids drawn from the reference's edited set.
+    """
+    ids = [25, 50, 75, 100, 125]
+    h, w = hw[1], hw[0]
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "edit_parse"), exist_ok=True)
+    os.makedirs(os.path.join(root, "raw_parse"), exist_ok=True)
+    focal = 1.2 * w
+    poses_bounds = []
+    for k, fid in enumerate(ids):
+        off = 0.4 * (k - len(ids) // 2) / max(1, len(ids) // 2)
+        eye = np.array([off, 0.2 * off, cam_dist])
+        c2w = _look_at(eye, up=np.array([0.0, 1.0, 0.0]))
+        img = render_sphere_image(c2w, h, w, focal)
+        name = f"img_{fid}"
+        Image.fromarray(img[..., :3]).save(os.path.join(root, "images", f"{name}.png"))
+        cls = sphere_class_map(c2w, h, w, focal)
+        # stored as attribute-id x 10 (attribute 1='skin'->cls 1, 14='neck'->3)
+        att = np.where(cls == 2, 14, cls).astype(np.uint8)
+        Image.fromarray((att * 10).astype(np.uint8)).save(
+            os.path.join(root, "edit_parse", f"{name}.png"))
+        Image.fromarray((att * 10).astype(np.uint8)).save(
+            os.path.join(root, "raw_parse", f"{name}.png"))
+        x, y, z, t = c2w[:, 0], c2w[:, 1], c2w[:, 2], c2w[:, 3]
+        pose_drb = np.stack([-y, x, z, t], 1)
+        hwf = np.array([[h], [w], [focal]], np.float32)
+        poses_bounds.append(np.concatenate(
+            [np.concatenate([pose_drb, hwf], 1).flatten(),
+             [cam_dist - 1.5, cam_dist + 1.5]]))
+    np.save(os.path.join(root, "poses_bounds.npy"), np.stack(poses_bounds))
+    return root
+
+
+def make_replica_dataset(root, n_frames=10, hw=(40, 30)):
+    """Replica-format scene: traj_w_c.txt + rgb/depth/semantic_class dirs."""
+    import cv2
+    w, h = hw
+    for d in ("rgb", "depth", "semantic_class"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    focal = w / 2.0  # hfov=90
+    Ts = []
+    for k in range(n_frames):
+        theta = 2 * np.pi * k / n_frames
+        eye = 3.0 * np.array([np.cos(theta), np.sin(theta), 0.3])
+        # opengl-style look-at, then flip to the opencv convention
+        # (x right, y down, z forward): y_cv = -y_gl, z_cv = -z_gl
+        gl = _look_at(eye)
+        cv_pose = np.stack([gl[:, 0], -gl[:, 1], -gl[:, 2], gl[:, 3]], 1)
+        T = np.concatenate([cv_pose, [[0, 0, 0, 1.0]]], 0)
+        Ts.append(T)
+        img = render_sphere_image(gl, h, w, focal)
+        cv2.imwrite(os.path.join(root, "rgb", f"rgb_{k}.png"), img[..., 2::-1])
+        depth_mm = np.full((h, w), 3000, np.uint16)
+        cv2.imwrite(os.path.join(root, "depth", f"depth_{k}.png"), depth_mm)
+        cls = sphere_class_map(gl, h, w, focal)
+        cv2.imwrite(os.path.join(root, "semantic_class", f"semantic_class_{k}.png"),
+                    cls.astype(np.uint8))
+    np.savetxt(os.path.join(root, "traj_w_c.txt"),
+               np.stack(Ts).reshape(n_frames, 16), delimiter=" ")
+    return root

@@ -110,3 +110,33 @@ def test_pfm_roundtrip(tmp_path):
     save_pfm(p, depth)
     loaded, scale = load_pfm(p)
     np.testing.assert_allclose(loaded, depth, rtol=1e-6)
+
+
+def test_train_cli_semantic_d3(tmp_path_factory):
+    """mode=d3 end-to-end: blender_cls_ib dataset + PointNet semantics."""
+    from tests.datasets_synthetic import make_blender_cls_dataset
+    scene = make_blender_cls_dataset(str(tmp_path_factory.mktemp("scene_cls")), hw=40)
+    wd = tmp_path_factory.mktemp("train_run_d3")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from opt import get_opts
+        from train import main
+        hparams = get_opts([
+            "--root_dir", scene,
+            "--dataset_name", "blender_cls_ib",
+            "--mode", "d3",
+            "--img_wh", "40", "40",
+            "--N_samples", "16", "--N_importance", "0",
+            "--batch_size", "512",
+            "--num_epochs", "1",
+            "--lr", "1e-3",
+            "--decay_step", "100",
+            "--loss_type", "msenll",
+            "--exp_name", "smoke_d3",
+        ])
+        state = main(hparams)
+        assert int(state.step) > 0
+        assert "points" in state.params
+    finally:
+        os.chdir(cwd)

@@ -1,0 +1,115 @@
+"""Semantic dataset loader tests over synthetic scenes."""
+import numpy as np
+import pytest
+
+from nerf_siren_tpu.datasets import dataset_dict
+from nerf_siren_tpu.datasets.llff_cls import convert_pred, merge_cls
+from tests.datasets_synthetic import (
+    make_blender_cls_dataset,
+    make_llff_cls_dataset,
+    make_replica_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def llff_cls_root(tmp_path_factory):
+    return make_llff_cls_dataset(str(tmp_path_factory.mktemp("llff_cls")))
+
+
+@pytest.fixture(scope="module")
+def blender_cls_root(tmp_path_factory):
+    return make_blender_cls_dataset(str(tmp_path_factory.mktemp("blender_cls")))
+
+
+@pytest.fixture(scope="module")
+def replica_root(tmp_path_factory):
+    return make_replica_dataset(str(tmp_path_factory.mktemp("replica")))
+
+
+def test_merge_cls_map():
+    m = merge_cls()
+    assert m[1] == 1          # skin
+    assert m[10] == 2         # nose -> face
+    assert m[14] == 3         # neck
+    assert m[17] == 4         # hair -> head
+    assert m[16] == 5         # cloth
+
+
+def test_convert_pred_scale():
+    raw = np.array([[0, 10, 140, 160]], np.uint8)
+    out = convert_pred(raw)
+    np.testing.assert_array_equal(out, [[0, 1, 3, 5]])
+
+
+def test_llff_cls_train(llff_cls_root):
+    ds = dataset_dict["llff_cls"](llff_cls_root, "train", img_wh=(40, 30))
+    n_px = 40 * 30
+    # 5 edited frames minus the val frame
+    assert ds.all_rays.shape[0] == ds.all_cls.shape[0] == ds.n_images * n_px
+    assert ds.all_cls.dtype == np.int32
+    classes = np.unique(ds.all_cls)
+    assert 0 in classes and 1 in classes and 3 in classes
+    assert classes.max() <= 5
+
+    batches = list(ds.image_batches(batch_size=2))
+    assert batches and batches[0]["rays"].shape == (2, n_px, 8)
+    assert batches[0]["cls"].shape == (2, n_px)
+
+
+def test_llff_cls_val_has_labels(llff_cls_root):
+    ds = dataset_dict["llff_cls"](llff_cls_root, "val", img_wh=(40, 30))
+    item = ds[0]
+    assert "cls" in item and item["cls"].shape == (1200,)
+
+
+def test_blender_cls_ib(blender_cls_root):
+    ds = dataset_dict["blender_cls_ib"](blender_cls_root, "train", img_wh=(40, 40))
+    assert len(ds) == 4  # image-batch: one item per image
+    item = ds[0]
+    assert item["rays"].shape == (1600, 8)
+    assert item["cls"].shape == (1600,)
+    assert set(np.unique(item["cls"])) <= {0, 1, 2}
+
+    # crop mode
+    ds_c = dataset_dict["blender_cls_ib"](blender_cls_root, "train",
+                                          img_wh=(40, 40), is_crop=True, crop_size=8)
+    item = ds_c[0]
+    assert item["rays"].shape == (64, 8)
+
+
+def test_replica_loader(replica_root):
+    ds = dataset_dict["replica"](replica_root, "train", img_wh=(40, 30),
+                                 total_num=10, step=2)
+    n_px = 40 * 30
+    assert ds.n_images == 5
+    assert ds.all_rays.shape == (5 * n_px, 8)
+    np.testing.assert_allclose(ds.all_rays[:, 6], 0.1, rtol=1e-5)
+    np.testing.assert_allclose(ds.all_rays[:, 7], 10.0, rtol=1e-5)
+    assert ds.all_cls.shape == (5 * n_px,)
+    # hfov=90 intrinsics
+    np.testing.assert_allclose(ds.fx, 20.0, rtol=1e-6)
+
+    # rays through the image center point along the camera forward axis
+    item0 = ds[0]
+    assert "cls" in item0
+
+    test_ds = dataset_dict["replica"](replica_root, "test", img_wh=(40, 30),
+                                      total_num=10, step=2)
+    item = test_ds[0]
+    assert item["rays"].shape == (n_px, 8)
+    assert item["depth"].shape == (n_px,)
+    np.testing.assert_allclose(item["depth"], 3.0, rtol=1e-5)  # 3000mm -> 3m
+
+
+def test_replica_rays_geometry(replica_root):
+    """Central pixel's ray must point from the camera toward the origin
+    (the synthetic cameras orbit looking at the sphere)."""
+    ds = dataset_dict["replica"](replica_root, "train", img_wh=(40, 30),
+                                 total_num=10, step=2)
+    n_px = 40 * 30
+    rays = ds.all_rays[:n_px].reshape(30, 40, 8)
+    center = rays[15, 20]
+    o, d = center[:3], center[3:6]
+    to_origin = -o / np.linalg.norm(o)
+    cos = np.dot(d / np.linalg.norm(d), to_origin)
+    assert cos > 0.95, f"central ray not looking at scene center: cos={cos}"

@@ -49,7 +49,7 @@ def build_system(hparams, white_back: bool, steps_per_epoch: int, n_classes: int
         loss_type=hparams.loss_type,
         seed=hparams.seed,
     )
-    nerf_cfg = NeRFConfig(n_classes=n_classes)
+    nerf_cfg = NeRFConfig()
     devices = jax.devices()
     if hparams.num_chips and hparams.num_chips < len(devices):
         devices = devices[: hparams.num_chips]
@@ -61,7 +61,8 @@ def build_system(hparams, white_back: bool, steps_per_epoch: int, n_classes: int
         from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
 
         system = NeRF3DSystem(render_cfg, train_cfg, nerf_cfg, steps_per_epoch, mesh,
-                              semantic_network=hparams.semantic_network)
+                              semantic_network=hparams.semantic_network,
+                              n_classes=n_classes or 6)
     elif hparams.mode == "eg3d":
         from nerf_siren_tpu.training.eg3d_system import EG3DSystem
 
