@@ -1,0 +1,76 @@
+"""EG3D evaluation / rendering CLI (reference: eval_eg3d.py:22-135).
+
+Loads the eg3d_renderer params (TriPlane backbone + decoder + learnable z)
+from a checkpoint, renders every test item in 4096-ray chunks, writes PNG
+frames + GIF and the mean PSNR when ground truth exists.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import imageio
+import numpy as np
+
+
+def get_opts(args=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--root_dir', type=str, required=True)
+    parser.add_argument('--dataset_name', type=str, default='blender',
+                        choices=['blender', 'llff', 'replica'])
+    parser.add_argument('--scene_name', type=str, default='test_eg3d')
+    parser.add_argument('--split', type=str, default='test')
+    parser.add_argument('--img_wh', nargs='+', type=int, default=[128, 128])
+    parser.add_argument('--spheric_poses', default=False, action='store_true')
+    parser.add_argument('--chunk', type=int, default=4096)
+    parser.add_argument('--ckpt_path', type=str, required=True)
+    return parser.parse_args(args)
+
+
+def main(hparams):
+    import jax
+
+    from nerf_siren_tpu.config import RenderConfig, TrainConfig
+    from nerf_siren_tpu.datasets import dataset_dict
+    from nerf_siren_tpu.training.checkpoints import load_ckpt
+    from nerf_siren_tpu.training.eg3d_system import EG3DSystem
+    from nerf_siren_tpu.training.metrics import psnr as psnr_fn
+    import jax.numpy as jnp
+
+    w, h = hparams.img_wh
+    kwargs = dict(root_dir=hparams.root_dir, split=hparams.split,
+                  img_wh=tuple(hparams.img_wh))
+    if hparams.dataset_name.startswith('llff'):
+        kwargs['spheric_poses'] = hparams.spheric_poses
+    dataset = dataset_dict[hparams.dataset_name](**kwargs)
+
+    system = EG3DSystem(RenderConfig(), TrainConfig(), steps_per_epoch=1)
+    params = system.init_params(jax.random.PRNGKey(0))
+    params['eg3d_renderer'] = load_ckpt(params['eg3d_renderer'],
+                                        hparams.ckpt_path, 'eg3d_renderer')
+
+    out_dir = os.path.join('results', hparams.dataset_name, hparams.scene_name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    imgs, psnrs = [], []
+    for i in range(len(dataset)):
+        sample = dataset[i]
+        out = system.render(params, np.asarray(sample['rays']), chunk=hparams.chunk)
+        pred = np.asarray(out['rgb_fine'], np.float32).reshape(h, w, 3)
+        img = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
+        imgs.append(img)
+        imageio.imwrite(os.path.join(out_dir, f'{i:03d}.png'), img)
+        if 'rgbs' in sample:
+            gt = sample['rgbs'].reshape(h, w, 3)
+            psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt))))
+        print(f'rendered {i + 1}/{len(dataset)}', flush=True)
+
+    imageio.mimsave(os.path.join(out_dir, f'{hparams.scene_name}.gif'),
+                    imgs, duration=1000 / 30)
+    if psnrs:
+        print(f'Mean PSNR: {np.mean(psnrs):.2f}')
+    return np.mean(psnrs) if psnrs else None
+
+
+if __name__ == '__main__':
+    main(get_opts())

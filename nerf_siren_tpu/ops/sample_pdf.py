@@ -49,6 +49,11 @@ def sample_pdf(
       stop_gradient the result).
     """
     n_rays, n_weights = weights.shape
+    # Gather indices never exceed n_weights, so surplus trailing bins are
+    # unreachable — the reference's torch.gather silently ignores them (the
+    # EG3D ImportanceRenderer passes N+1 bins with N-1 weights,
+    # reference volumetric_rendering/renderer.py:236-239).
+    bins = bins[:, : n_weights + 1]
     weights = weights + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)                               # (R, W)

@@ -1,0 +1,119 @@
+"""EG3D training system (reference: system.py:17-169 EG3DSystem).
+
+Single-scene overfit: the only latent is the renderer's learnable z; the
+StyleGAN2 discriminator is unused (as in the reference). Rays come from the
+datasets; forward maps them through mapping → synthesis → triplane
+importance rendering; loss is MSE on coarse+fine rgb; validation renders in
+4096-ray chunks (reference system.py:137-144).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from nerf_siren_tpu.config import RenderConfig, TrainConfig
+from nerf_siren_tpu.parallel.mesh import make_mesh, replicate, shard_rays
+from nerf_siren_tpu.render.triplane import (
+    TriPlaneConfig,
+    eg3d_render,
+    init_eg3d_renderer,
+)
+from nerf_siren_tpu.training.losses import mse_loss
+from nerf_siren_tpu.training.metrics import psnr
+from nerf_siren_tpu.training.optimizers import get_optimizer, make_lr_schedule
+from nerf_siren_tpu.training.system import TrainState
+
+EG3D_VAL_CHUNK = 4096  # reference system.py:137
+
+
+class EG3DSystem:
+    def __init__(
+        self,
+        render_cfg: RenderConfig = RenderConfig(),
+        train_cfg: TrainConfig = TrainConfig(),
+        steps_per_epoch: int = 1000,
+        mesh: Optional[Mesh] = None,
+        triplane_cfg: Optional[TriPlaneConfig] = None,
+    ):
+        self.render_cfg = render_cfg
+        self.train_cfg = train_cfg
+        self.cfg = triplane_cfg if triplane_cfg is not None else TriPlaneConfig()
+        self.steps_per_epoch = steps_per_epoch
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tx = get_optimizer(train_cfg, steps_per_epoch)
+        self.lr_schedule = make_lr_schedule(train_cfg, steps_per_epoch)
+        self._train_step = None
+        self._render_fn = None
+
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        # nested under the reference's checkpoint name (eg3d_renderer.*)
+        return {"eg3d_renderer": init_eg3d_renderer(rng, self.cfg)}
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        params = self.init_params(rng)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=self.tx.init(params))
+        return replicate(state, self.mesh)
+
+    def _make_train_step(self):
+        cfg, tx = self.cfg, self.tx
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, rays, rgbs, rng):
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def compute_loss(params):
+                out = eg3d_render(params["eg3d_renderer"], cfg,
+                                  rays[:, 0:3], rays[:, 3:6],
+                                  noise_mode="const", rng=step_rng)
+                losses = mse_loss(out, rgbs)
+                return losses["sum"], out
+
+            grads, out = jax.grad(compute_loss, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+            metrics = {
+                "train/loss": jnp.mean((out["rgb_fine"] - rgbs) ** 2)
+                + jnp.mean((out["rgb_coarse"] - rgbs) ** 2),
+                "train/psnr": psnr(jax.lax.stop_gradient(out["rgb_fine"]), rgbs),
+            }
+            return TrainState(step=state.step + 1, params=params,
+                              opt_state=opt_state), metrics
+
+        return train_step
+
+    def train_step(self, state, batch: Dict[str, np.ndarray], rng):
+        if self._train_step is None:
+            self._train_step = self._make_train_step()
+        sharded = shard_rays({"rays": jnp.asarray(batch["rays"]),
+                              "rgbs": jnp.asarray(batch["rgbs"])}, self.mesh)
+        return self._train_step(state, sharded["rays"], sharded["rgbs"], rng)
+
+    def render(self, params, rays: np.ndarray,
+               chunk: int = EG3D_VAL_CHUNK) -> Dict[str, np.ndarray]:
+        """Chunked deterministic render (reference system.py:137-144)."""
+        cfg = self.cfg
+        if self._render_fn is None:
+            @jax.jit
+            def render_fn(params, tiles):
+                return jax.lax.map(
+                    lambda t: eg3d_render(params["eg3d_renderer"], cfg,
+                                          t[:, 0:3], t[:, 3:6]),
+                    tiles)
+            self._render_fn = render_fn
+        n = rays.shape[0]
+        chunk = min(chunk, n)
+        n_tiles = -(-n // chunk)
+        pad = n_tiles * chunk - n
+        tiles = np.pad(rays, ((0, pad), (0, 0))).reshape(n_tiles, chunk, -1)
+        out = self._render_fn(params, jnp.asarray(tiles))
+        return {k: np.asarray(v).reshape(n_tiles * chunk, *v.shape[2:])[:n]
+                for k, v in out.items()}
+
+    def current_lr(self, state) -> float:
+        return float(self.lr_schedule(int(state.step)))

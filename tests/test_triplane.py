@@ -1,0 +1,186 @@
+"""EG3D triplane renderer tests: plane projection, ray-box limits, mip ray
+marcher oracle, importance renderer contract, EG3D system training smoke."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from nerf_siren_tpu.render.triplane import (
+    RenderingOptions,
+    TriPlaneConfig,
+    batched_linspace,
+    eg3d_render,
+    get_ray_limits_box,
+    importance_render,
+    init_eg3d_renderer,
+    init_osg_decoder,
+    mip_ray_march,
+    project_onto_planes,
+    sample_from_planes,
+    sample_importance,
+    unify_samples,
+)
+
+TINY = TriPlaneConfig(
+    z_dim=32, w_dim=32, plane_resolution=16, plane_channels=8,
+    mapping_layers=2, channel_base=512, channel_max=32,
+    rendering=RenderingOptions(depth_resolution=12, depth_resolution_importance=8,
+                               ray_start=0.5, ray_end=4.0, box_warp=4.0))
+
+
+def test_project_onto_planes_axes():
+    coords = jnp.asarray([[[1.0, 2.0, 3.0]]])  # (1, 1, 3)
+    proj = np.asarray(project_onto_planes(coords))  # (3, 1, 2)
+    # torch-oracle values: bmm(coords, inv(planes))[..., :2]
+    np.testing.assert_allclose(proj[0, 0], [1, 2], atol=1e-6)
+    np.testing.assert_allclose(proj[1, 0], [1, 3], atol=1e-6)
+    np.testing.assert_allclose(proj[2, 0], [3, 1], atol=1e-6)
+
+
+def test_ray_box_limits():
+    o = jnp.asarray([[[0.0, 0.0, -5.0], [10.0, 10.0, -5.0]]])
+    d = jnp.asarray([[[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]]])
+    tmin, tmax = get_ray_limits_box(o, d, box_side_length=2.0)
+    np.testing.assert_allclose(np.asarray(tmin[0, 0]), 4.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tmax[0, 0]), 6.0, atol=1e-5)
+    # miss → (-1, -2)
+    np.testing.assert_allclose(np.asarray(tmin[0, 1]), -1.0)
+    np.testing.assert_allclose(np.asarray(tmax[0, 1]), -2.0)
+
+
+def test_batched_linspace():
+    start = jnp.asarray([[0.0], [1.0]])
+    stop = jnp.asarray([[1.0], [3.0]])
+    out = np.asarray(batched_linspace(start, stop, 5))
+    assert out.shape == (5, 2, 1)
+    np.testing.assert_allclose(out[:, 0, 0], np.linspace(0, 1, 5), atol=1e-6)
+    np.testing.assert_allclose(out[:, 1, 0], np.linspace(1, 3, 5), atol=1e-6)
+
+
+def test_mip_ray_march_oracle(rng):
+    """Literal numpy re-derivation of reference ray_marcher.py:26-53."""
+    n, r, s = 1, 7, 12
+    depths = np.sort(rng.uniform(1, 5, (n, r, s, 1)).astype(np.float32), axis=2)
+    colors = rng.uniform(0, 1, (n, r, s, 3)).astype(np.float32)
+    dens = rng.standard_normal((n, r, s, 1)).astype(np.float32)
+
+    deltas = depths[:, :, 1:] - depths[:, :, :-1]
+    c_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
+    d_mid = (dens[:, :, :-1] + dens[:, :, 1:]) / 2
+    z_mid = (depths[:, :, :-1] + depths[:, :, 1:]) / 2
+    d_act = np.log1p(np.exp(d_mid - 1))
+    alpha = 1 - np.exp(-d_act * deltas)
+    shifted = np.concatenate([np.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], 2)
+    w = alpha * np.cumprod(shifted, 2)[:, :, :-1]
+    rgb_e = (w * c_mid).sum(2)
+    wt = w.sum(2)
+    depth_e = np.clip(np.nan_to_num((w * z_mid).sum(2) / wt, nan=np.inf),
+                      depths.min(), depths.max())
+
+    rgb, depth, weights = mip_ray_march(jnp.asarray(colors), jnp.asarray(dens),
+                                        jnp.asarray(depths))
+    np.testing.assert_allclose(np.asarray(rgb), rgb_e, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth), depth_e, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(weights), w, rtol=1e-4, atol=1e-6)
+
+
+def test_sample_from_planes_center_value(rng):
+    feats = jnp.asarray(rng.standard_normal((1, 3, 4, 8, 8)).astype(np.float32))
+    coords = jnp.zeros((1, 1, 3))
+    out = np.asarray(sample_from_planes(feats, coords, box_warp=2.0))
+    assert out.shape == (1, 3, 1, 4)
+    # center of an 8x8 grid with align_corners=False: average of 4 center texels
+    f = np.asarray(feats)
+    for p in range(3):
+        expected = f[0, p, :, 3:5, 3:5].mean(axis=(1, 2))
+        np.testing.assert_allclose(out[0, p, 0], expected, rtol=1e-4, atol=1e-5)
+
+
+def test_unify_samples_sorted(rng):
+    d1 = jnp.asarray(np.sort(rng.uniform(0, 1, (1, 4, 6, 1)), 2).astype(np.float32))
+    d2 = jnp.asarray(np.sort(rng.uniform(0, 1, (1, 4, 5, 1)), 2).astype(np.float32))
+    c1 = jnp.asarray(rng.uniform(0, 1, (1, 4, 6, 3)).astype(np.float32))
+    c2 = jnp.asarray(rng.uniform(0, 1, (1, 4, 5, 3)).astype(np.float32))
+    s1 = jnp.asarray(rng.uniform(0, 1, (1, 4, 6, 1)).astype(np.float32))
+    s2 = jnp.asarray(rng.uniform(0, 1, (1, 4, 5, 1)).astype(np.float32))
+    d, c, s = unify_samples(d1, c1, s1, d2, c2, s2)
+    assert d.shape == (1, 4, 11, 1) and c.shape == (1, 4, 11, 3)
+    dn = np.asarray(d)[..., 0]
+    assert np.all(np.diff(dn, axis=-1) >= 0)
+    # color follows its depth: check one (ray, sample) pair
+    all_d = np.concatenate([np.asarray(d1), np.asarray(d2)], 2)[0, 0, :, 0]
+    all_c = np.concatenate([np.asarray(c1), np.asarray(c2)], 2)[0, 0]
+    order = np.argsort(all_d)
+    np.testing.assert_allclose(np.asarray(c)[0, 0], all_c[order], rtol=1e-6)
+
+
+def test_importance_render_contract(rng):
+    params = init_eg3d_renderer(jax.random.PRNGKey(0), TINY)
+    r = 9
+    o = np.zeros((1, r, 3), np.float32)
+    o[..., 2] = -2.0
+    d = rng.normal(size=(1, r, 3)).astype(np.float32)
+    d[..., 2] = np.abs(d[..., 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    from nerf_siren_tpu.render.triplane import triplane_mapping, triplane_planes
+    ws = triplane_mapping(params, TINY, params["z"])
+    planes = triplane_planes(params, TINY, ws)
+    assert planes.shape == (1, 3, 8, 16, 16)
+
+    out = importance_render(planes, params["decoder"], jnp.asarray(o),
+                            jnp.asarray(d), TINY.rendering)
+    rgb_c, d_c, w_c, rgb_f, d_f, w_f = out
+    assert rgb_c.shape == (1, r, 3) and rgb_f.shape == (1, r, 3)
+    assert d_f.shape == (1, r, 1) and w_f.shape == (1, r, 1)
+    for t in out:
+        assert np.isfinite(np.asarray(t)).all()
+
+
+def test_ray_start_auto(rng):
+    cfg = TriPlaneConfig(
+        z_dim=32, w_dim=32, plane_resolution=16, plane_channels=8,
+        mapping_layers=2, channel_base=512, channel_max=32,
+        rendering=RenderingOptions(depth_resolution=8, depth_resolution_importance=4,
+                                   ray_start="auto", ray_end="auto", box_warp=4.0))
+    params = init_eg3d_renderer(jax.random.PRNGKey(0), cfg)
+    o = np.zeros((8, 3), np.float32)
+    o[:, 2] = -5.0
+    d = np.tile(np.asarray([[0, 0, 1.0]], np.float32), (8, 1))
+    out = eg3d_render(params, cfg, jnp.asarray(o), jnp.asarray(d))
+    assert np.isfinite(np.asarray(out["rgb_fine"])).all()
+    # depth must lie inside the box interval [3, 7]
+    depth = np.asarray(out["depth_fine"])
+    assert depth.min() >= 3.0 - 1e-3 and depth.max() <= 7.0 + 1e-3
+
+
+def test_eg3d_system_trains(rng):
+    from nerf_siren_tpu.config import RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.eg3d_system import EG3DSystem
+
+    system = EG3DSystem(RenderConfig(), TrainConfig(lr=1e-2, decay_step=(100,)),
+                        steps_per_epoch=4, triplane_cfg=TINY)
+    n = 64
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = -2.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((n, 1), 0.5, np.float32),
+                           np.full((n, 1), 4.0, np.float32)], -1)
+    rgbs = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    state = system.init_state(jax.random.PRNGKey(0))
+    losses = []
+    for _ in range(5):
+        state, m = system.train_step(state, {"rays": rays, "rgbs": rgbs},
+                                     jax.random.PRNGKey(1))
+        losses.append(float(m["train/loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"EG3D did not train: {losses}"
+    # the learnable z moves
+    z0 = np.asarray(init_eg3d_renderer(jax.random.PRNGKey(0), TINY)["z"])
+    assert not np.allclose(np.asarray(state.params["eg3d_renderer"]["z"]), z0)
+
+    out = system.render(state.params, rays[:32], chunk=16)
+    assert out["rgb_fine"].shape == (32, 3)
