@@ -12,11 +12,28 @@ dataset load, so they are not perf-critical — clarity and exact parity win.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# The JIT-compiled C++ library covers these hot loops during dataset load
+# (nerf_siren_tpu/native, the analogue of the reference's custom_ops JIT
+# loader); numpy remains the reference implementation and the fallback.
+_USE_NATIVE = os.environ.get("NERF_SIREN_TPU_NATIVE", "1") != "0"
+
+
+def _native():
+    if not _USE_NATIVE:
+        return None
+    from nerf_siren_tpu import native
+    return native if native.available() else None
 
 
 def get_ray_directions(H: int, W: int, focal: float) -> np.ndarray:
     """Per-pixel ray directions in camera coordinates. Returns (H, W, 3) f32."""
+    nat = _native()
+    if nat is not None:
+        return nat.ray_directions(H, W, focal)
     j, i = np.meshgrid(np.arange(H, dtype=np.float32),
                        np.arange(W, dtype=np.float32), indexing="ij")
     return np.stack(
@@ -33,6 +50,10 @@ def get_rays(directions: np.ndarray, c2w: np.ndarray):
     Returns:
       rays_o, rays_d: (H*W, 3) each; rays_d normalized.
     """
+    nat = _native()
+    if nat is not None:
+        return nat.world_rays(np.asarray(directions, np.float32),
+                              np.asarray(c2w, np.float32))
     rays_d = directions @ c2w[:, :3].T
     rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
     rays_o = np.broadcast_to(c2w[:, 3], rays_d.shape)

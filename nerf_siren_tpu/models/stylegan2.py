@@ -353,3 +353,80 @@ def apply_generator(params, cfg: GeneratorConfig, z, c=None,
                        truncation_psi=truncation_psi)
     return apply_synthesis_network(params["synthesis"], cfg.synthesis, ws,
                                    noise_mode=noise_mode, rng=rng)
+
+
+# -- Discriminator (reference networks_stylegan2.py:557-795; unused by the
+# reference's training, kept for capability completeness) ----------------------
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    c_dim: int = 0
+    img_resolution: int = 256
+    img_channels: int = 3
+    channel_base: int = 32768
+    channel_max: int = 512
+    mbstd_group_size: int = 4
+    mbstd_num_channels: int = 1
+
+    @property
+    def block_resolutions(self) -> Tuple[int, ...]:
+        log2 = int(math.log2(self.img_resolution))
+        return tuple(2 ** i for i in range(log2, 2, -1))
+
+    def channels(self, res: int) -> int:
+        return min(self.channel_base // res, self.channel_max)
+
+
+def init_discriminator(key, cfg: DiscriminatorConfig) -> Dict[str, Any]:
+    keys = jax.random.split(key, len(cfg.block_resolutions) * 4 + 4)
+    ki = iter(range(len(keys)))
+    p: Dict[str, Any] = {}
+    p["frgb"] = init_conv2d_layer(keys[next(ki)], cfg.img_channels,
+                                  cfg.channels(cfg.img_resolution), kernel_size=1)
+    for res in cfg.block_resolutions:
+        in_ch, out_ch = cfg.channels(res), cfg.channels(res // 2)
+        p[f"b{res}"] = {
+            "conv0": init_conv2d_layer(keys[next(ki)], in_ch, in_ch),
+            "conv1": init_conv2d_layer(keys[next(ki)], in_ch, out_ch),
+            "skip": init_conv2d_layer(keys[next(ki)], in_ch, out_ch,
+                                      kernel_size=1, bias=False),
+        }
+    ch4 = cfg.channels(4)
+    p["epi_conv"] = init_conv2d_layer(keys[next(ki)],
+                                      ch4 + cfg.mbstd_num_channels, ch4)
+    p["epi_fc"] = init_fc(keys[next(ki)], ch4 * 16, ch4)
+    p["epi_out"] = init_fc(keys[next(ki)], ch4, 1)
+    return p
+
+
+def minibatch_stddev(x: jax.Array, group_size: int = 4,
+                     num_channels: int = 1) -> jax.Array:
+    """(reference networks_stylegan2.py:682-703 MinibatchStdLayer)."""
+    n, c, h, w = x.shape
+    g = min(group_size, n) if group_size is not None else n
+    g = max(1, n // max(1, n // g))
+    f = num_channels
+    y = x.reshape(g, -1, f, c // f, h, w)
+    y = y - jnp.mean(y, axis=0)
+    y = jnp.sqrt(jnp.mean(y ** 2, axis=0) + 1e-8)
+    y = jnp.mean(y, axis=(2, 3, 4))                   # (n//g, F)
+    y = jnp.repeat(y, g, axis=0).reshape(n, f, 1, 1)
+    y = jnp.broadcast_to(y, (n, f, h, w))
+    return jnp.concatenate([x, y], axis=1)
+
+
+def apply_discriminator(params, cfg: DiscriminatorConfig, img: jax.Array) -> jax.Array:
+    """img (N, C, R, R) → logits (N, 1). Resnet architecture."""
+    f = setup_filter(RESAMPLE_FILTER)
+    x = apply_conv2d_layer(params["frgb"], img, activation="lrelu")
+    for res in cfg.block_resolutions:
+        blk = params[f"b{res}"]
+        y = apply_conv2d_layer(blk["skip"], x, f=f, down=2, gain=math.sqrt(0.5))
+        x = apply_conv2d_layer(blk["conv0"], x, activation="lrelu")
+        x = apply_conv2d_layer(blk["conv1"], x, f=f, down=2, activation="lrelu",
+                               gain=math.sqrt(0.5))
+        x = y + x
+    x = minibatch_stddev(x, cfg.mbstd_group_size, cfg.mbstd_num_channels)
+    x = apply_conv2d_layer(params["epi_conv"], x, activation="lrelu")
+    x = apply_fc(params["epi_fc"], x.reshape(x.shape[0], -1), activation="lrelu")
+    return apply_fc(params["epi_out"], x)

@@ -140,3 +140,32 @@ def test_train_cli_semantic_d3(tmp_path_factory):
         assert "points" in state.params
     finally:
         os.chdir(cwd)
+
+
+def test_extract_color_mesh_cli(workdir, scene_root):
+    """Mesh extraction end-to-end from a trained checkpoint."""
+    wd, _ = workdir
+    ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "smoke", "*.msgpack")))[-1]
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from extract_color_mesh import get_opts as mesh_opts, main as mesh_main
+        out_path = mesh_main(mesh_opts([
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--img_wh", "40", "40",
+            "--ckpt_path", ckpt,
+            "--N_grid", "48",
+            "--x_range", "-1.5", "1.5",
+            "--y_range", "-1.5", "1.5",
+            "--z_range", "-1.5", "1.5",
+            "--sigma_threshold", "2.0",
+            "--N_samples", "24",
+            "--scene_name", "sphere_mesh",
+        ]))
+        assert os.path.exists(out_path)
+        from nerf_siren_tpu.mesh.ply import read_ply
+        v, f, c = read_ply(out_path)
+        assert len(v) >= 0 and (c is None or len(c) == len(v))
+    finally:
+        os.chdir(cwd)
