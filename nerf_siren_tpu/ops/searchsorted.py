@@ -64,8 +64,11 @@ def searchsorted_binary(sorted_sequence: jax.Array, values: jax.Array, side: str
             go_right = mid_val <= values
         else:
             go_right = mid_val < values
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
+        # fixed iteration count: once lo == hi the search has converged and
+        # further steps must be no-ops (else lo overshoots past A)
+        active = lo < hi
+        lo = jnp.where(go_right & active, mid + 1, lo)
+        hi = jnp.where(go_right | ~active, hi, mid)
         return lo, hi
 
     lo, hi = jax.lax.fori_loop(0, n_steps + 1, step, (lo, hi))

@@ -1,0 +1,174 @@
+"""Accelerated eval rendering via proxy-guided sample culling.
+
+The parity renderer spends ~98% of its FLOPs on NeRF MLP evaluations, most of
+them in empty space. Occupancy-grid culling (NerfAcc-style) is the standard
+fix, but on TPU the per-sample grid GATHER costs as much as the sigma MLP it
+replaces (~24 ms per 2.6M lookups, measured). TPU-native alternative: distill
+the density field into a TINY proxy MLP (~250x fewer FLOPs than the NeRF MLP)
+and let IT score all candidate samples — pure MXU matmuls, no gathers — then
+evaluate the full model only at each ray's top-K scoring samples.
+
+Pipeline (render_rays_fast):
+1. march S_c uniform candidates per ray (static shapes),
+2. proxy sigma on all candidates (cheap),
+3. per-ray top-K by proxy score, selected depths sorted ascending,
+4. full NeRF MLP at the K survivors, alpha-composite with the candidate
+   spacing as delta (skipped samples are empty, so transmittance through
+   them is ~1 and the integral is preserved).
+
+The proxy trains by distillation from the converged field in seconds
+(distill_proxy); quality is validated against the exact renderer in tests.
+This is an eval-path accelerator — training uses the parity renderer.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_siren_tpu.config import NeRFConfig, RenderConfig
+from nerf_siren_tpu.models.embedding import positional_encoding
+from nerf_siren_tpu.models.layers import init_linear, linear
+from nerf_siren_tpu.models.nerf import apply_nerf
+from nerf_siren_tpu.render.rendering import composite
+
+PROXY_FREQS = 5  # 3 * (2*5 + 1) = 33 input channels
+
+
+def init_proxy(key: jax.Array, hidden: int = 32) -> Dict[str, Any]:
+    k1, k2 = jax.random.split(key)
+    in_ch = 3 * (2 * PROXY_FREQS + 1)
+    return {"l1": init_linear(k1, in_ch, hidden),
+            "l2": init_linear(k2, hidden, 1)}
+
+
+def apply_proxy(proxy: Dict[str, Any], xyz: jax.Array,
+                compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Proxy density score for (..., 3) points → (...,)."""
+    emb = positional_encoding(xyz, PROXY_FREQS)
+    h = jax.nn.relu(linear(proxy["l1"], emb, compute_dtype))
+    return linear(proxy["l2"], h, compute_dtype)[..., 0]
+
+
+def distill_proxy(
+    sigma_fn: Callable[[jax.Array], jax.Array],
+    aabb_min, aabb_max,
+    rng: jax.Array,
+    steps: int = 500,
+    batch: int = 65536,
+    lr: float = 5e-3,
+    hidden: int = 32,
+) -> Dict[str, Any]:
+    """Fit the proxy to log1p(relu(sigma)) of the field over the AABB.
+
+    sigma_fn: (N, 3) → (N,) raw sigma of the converged model.
+
+    Occupied regions are a tiny fraction of the AABB, so uniform sampling
+    alone underfits the surface: each step re-samples half its batch as
+    jittered copies of the currently-densest points (self-importance
+    sampling), and the regression is weighted toward occupied targets.
+    """
+    aabb_min = jnp.asarray(aabb_min, jnp.float32)
+    aabb_max = jnp.asarray(aabb_max, jnp.float32)
+    extent = aabb_max - aabb_min
+    proxy = init_proxy(rng, hidden)
+    tx = optax.adam(lr)
+    opt_state = tx.init(proxy)
+
+    @jax.jit
+    def step(proxy, opt_state, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        uniform = aabb_min + jax.random.uniform(k1, (batch, 3)) * extent
+        t_uniform = jnp.log1p(jax.nn.relu(sigma_fn(uniform)))
+
+        # importance half: jitter the densest uniform points
+        _, dense_idx = jax.lax.top_k(t_uniform, batch // 2)
+        seeds = uniform[dense_idx]
+        jitter = jax.random.normal(k2, seeds.shape) * (0.05 * extent)
+        focus = jnp.clip(seeds + jitter, aabb_min, aabb_max)
+        t_focus = jnp.log1p(jax.nn.relu(sigma_fn(focus)))
+
+        pts = jnp.concatenate([uniform, focus])
+        target = jnp.concatenate([t_uniform, t_focus])
+        weight = 1.0 + target          # occupied targets count more
+
+        def loss_fn(p):
+            pred = apply_proxy(p, pts, compute_dtype=None)
+            return jnp.mean(weight * (pred - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(proxy)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(proxy, updates), opt_state, loss
+
+    keys = jax.random.split(jax.random.fold_in(rng, 1), steps)
+    for k in keys:
+        proxy, opt_state, loss = step(proxy, opt_state, k)
+    return proxy
+
+
+def render_rays_fast(
+    params: Dict[str, Any],
+    proxy: Dict[str, Any],
+    rays: jax.Array,
+    *,
+    n_candidates: int = 192,
+    n_keep: int = 32,
+    nerf_cfg: NeRFConfig = NeRFConfig(),
+    model: str = "fine",
+    white_back: bool = False,
+    compute_dtype=jnp.bfloat16,
+    n_freqs_xyz: int = 10,
+    n_freqs_dir: int = 4,
+) -> Dict[str, jax.Array]:
+    """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity."""
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    r = rays.shape[0]
+
+    # 1. uniform candidates
+    t = jnp.linspace(0.0, 1.0, n_candidates)
+    z = near * (1 - t) + far * t                                  # (R, S)
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+
+    # 2. proxy scores (cheap, no gathers)
+    scores = apply_proxy(proxy, xyz, compute_dtype)               # (R, S)
+
+    # 3. per-ray top-K, depths restored to ascending order.
+    # take_along_axis over the minor axis lowers to slow TPU gathers; a
+    # one-hot contraction does the same selection on the VPU (~2x faster,
+    # measured)
+    _, idx = jax.lax.top_k(scores, n_keep)                        # (R, K)
+    idx = jnp.sort(idx, axis=-1)
+    onehot = (idx[..., None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_candidates), 2))
+    z_sel = jnp.einsum("rks,rs->rk", onehot.astype(z.dtype), z)   # (R, K)
+    xyz_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
+
+    # 4. full model at the survivors
+    dir_emb = positional_encoding(rays_d, n_freqs_dir)
+    dir_b = jnp.broadcast_to(dir_emb[:, None, :], (r, n_keep, dir_emb.shape[-1]))
+    emb = positional_encoding(xyz_sel, n_freqs_xyz)
+    raw = apply_nerf(params[model], emb, dir_b, cfg=nerf_cfg,
+                     compute_dtype=compute_dtype)
+
+    # composite with the candidate spacing as delta: the survivors are a
+    # subset of a uniform march whose skipped samples are (per proxy) empty,
+    # so each survivor represents one candidate interval
+    spacing = (far - near) / (n_candidates - 1)                   # (R, 1)
+    deltas = jnp.broadcast_to(spacing, z_sel.shape) * dir_norm
+    sigmas = jax.nn.relu(raw[..., 3])
+    alphas = 1.0 - jnp.exp(-deltas * sigmas)
+    trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
+    weights = alphas * trans
+    opacity = jnp.sum(weights, -1)
+    rgb = jnp.sum(weights[..., None] * raw[..., :3], -2)
+    if white_back:
+        rgb = rgb + (1.0 - opacity[..., None])
+    depth = jnp.sum(weights * z_sel, -1)
+    return {f"rgb_{model}": rgb, f"depth_{model}": depth,
+            f"opacity_{model}": opacity}
