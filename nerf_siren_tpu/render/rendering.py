@@ -107,7 +107,12 @@ def stratified_z_vals(
 
 
 def _default_field_fn(params, xyz, dir_emb, *, nerf_cfg, n_freqs_xyz, compute_dtype):
-    """Embed positions and run the NeRF MLP over a (R, S, 3) slab."""
+    """Embed positions and run the NeRF MLP over a (R, S, 3) slab.
+
+    TPU note: deliberately kept 3-D. Although XLA pads the 3/4-channel head
+    outputs heavily on (R, S, C) tiles, flattening to (R*S, C) measures 25%
+    SLOWER (310K→248K rays/s at 40K-ray chunks) — the reshape forces layout
+    copies that cost more than the padded-head waste."""
     xyz_emb = positional_encoding(xyz, n_freqs_xyz)
     if dir_emb is None:
         return apply_nerf(params, xyz_emb, None, cfg=nerf_cfg, compute_dtype=compute_dtype)
