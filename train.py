@@ -72,12 +72,13 @@ def build_system(hparams, white_back: bool, steps_per_epoch: int, n_classes: int
     return system
 
 
-def validate(system, state, val_ds, writer, step: int, img_wh, max_images: int = 1):
+def validate(system, state, val_ds, writer, step: int, img_wh,
+             max_images: int = 1, exp_name: str = "exp"):
     from nerf_siren_tpu.training.metrics import psnr as psnr_fn
     from nerf_siren_tpu.utils.visualization import visualize_depth
 
     w, h = img_wh
-    losses, psnrs = [], []
+    losses, psnrs, cls_accs = [], [], []
     for i in range(min(len(val_ds), max_images)):
         sample = val_ds[i]
         out = system.render(state.params, sample["rays"])
@@ -90,6 +91,19 @@ def validate(system, state, val_ds, writer, step: int, img_wh, max_images: int =
         import jax.numpy as jnp
         psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt),
                                    jnp.asarray(mask3) if mask3 is not None else None)))
+
+        cls_key = key.replace("rgb", "cls")
+        if cls_key in out and "cls" in sample:
+            pred_cls = np.argmax(out[cls_key], axis=-1)
+            gt_cls = np.asarray(sample["cls"]).reshape(-1)
+            cls_accs.append(float((pred_cls == gt_cls).mean()))
+            if i == 0:  # per-epoch class-map dump (reference system.py:365-380)
+                from nerf_siren_tpu.utils.color import color_cls
+                color_cls((np.clip(pred, 0, 1) * 255).astype(np.uint8),
+                          pred_cls.reshape(h, w),
+                          savedir=os.path.join("mid_results", exp_name),
+                          prefix=f"step{step}_")
+
         if writer is not None and i == 0:
             depth = out[key.replace("rgb", "depth")].reshape(h, w)
             depth_vis = visualize_depth(depth).astype(np.float32) / 255.0
@@ -101,6 +115,8 @@ def validate(system, state, val_ds, writer, step: int, img_wh, max_images: int =
     if writer is not None:
         writer.add_scalar("val/loss", val_loss, step)
         writer.add_scalar("val/psnr", val_psnr, step)
+        if cls_accs:
+            writer.add_scalar("val/cls_acc", float(np.mean(cls_accs)), step)
     return val_loss, val_psnr
 
 
@@ -164,7 +180,8 @@ def main(hparams):
 
         if (epoch + 1) % hparams.val_every == 0 or epoch == hparams.num_epochs - 1:
             val_loss, val_psnr = validate(system, state, val_ds, writer, step,
-                                          tuple(hparams.img_wh))
+                                          tuple(hparams.img_wh),
+                                          exp_name=hparams.exp_name)
             line += f" val/loss={val_loss:.4f} val/psnr={val_psnr:.2f}"
             path = os.path.join(ckpt_dir, f"epoch={epoch}-step={step}.msgpack")
             ckpt_lib.save_train_state(path, state, epoch + 1)
