@@ -46,9 +46,14 @@ def _init_mapping_linear(key, in_dim, out_dim):
 
 
 def init_siren_nerf(key: jax.Array, hidden_dim: int = 256, n_layers: int = 8,
-                    z_dim: int = 100, learnable_z: bool = True) -> Dict[str, Any]:
+                    z_dim: int = 100, learnable_z: bool = True,
+                    n_classes: int = 0) -> Dict[str, Any]:
+    """n_classes > 0 appends the nerf_cls-style semantic head
+    (Linear(h→2h) → Linear(2h→C) → sigmoid off the trunk, reference
+    models/nerf_cls.py:56-61 applied to the SIREN trunk) — the
+    'SIREN-activation NeRF + semantic nerf_cls head' capability."""
     n_freq_outputs = (n_layers + 1) * hidden_dim * 2
-    keys = jax.random.split(key, n_layers + 7)
+    keys = jax.random.split(key, n_layers + 9)
     net = [_init_film(keys[0], 3, hidden_dim, first=True)]
     for i in range(1, n_layers):
         net.append(_init_film(keys[i], hidden_dim, hidden_dim))
@@ -65,6 +70,12 @@ def init_siren_nerf(key: jax.Array, hidden_dim: int = 256, n_layers: int = 8,
     }
     if learnable_z:
         params["z"] = jax.random.normal(keys[n_layers + 6], (1, z_dim))
+    if n_classes > 0:
+        from nerf_siren_tpu.models.layers import init_linear
+        params["parse"] = [
+            init_linear(keys[n_layers + 7], hidden_dim, 2 * hidden_dim),
+            init_linear(keys[n_layers + 8], 2 * hidden_dim, n_classes),
+        ]
     return params
 
 
@@ -114,17 +125,30 @@ def apply_siren_nerf(
         frequencies[..., -hidden_dim:], phase_shifts[..., -hidden_dim:])
     rgb = jax.nn.sigmoid(
         rgb @ params["color_layer_linear"]["kernel"] + params["color_layer_linear"]["bias"])
-    return jnp.concatenate([rgb, sigma], axis=-1)
+    out = [rgb, sigma]
+    if "parse" in params:
+        c = x @ params["parse"][0]["kernel"] + params["parse"][0]["bias"]
+        c = c @ params["parse"][1]["kernel"] + params["parse"][1]["bias"]
+        out.append(jax.nn.sigmoid(c))
+    return jnp.concatenate(out, axis=-1)
+
+
+def siren_field_fn(params, xyz, dir_emb, hidden_dim: int = 256):
+    """render_rays field_fn: the SIREN color branch consumes RAW directions,
+    recovered from the embedding's passthrough channels (dir_emb[..., :3]).
+    The sigma branch is direction-independent, so the sigma-only path feeds
+    zero dirs."""
+    r, s, _ = xyz.shape
+    if dir_emb is None:
+        dirs = jnp.zeros((r, s, 3), xyz.dtype)
+        out = apply_siren_nerf(params, xyz, dirs, hidden_dim=hidden_dim)
+        return out[..., 3:4]
+    dirs = jnp.broadcast_to(dir_emb[:, None, :3], (r, s, 3))
+    return apply_siren_nerf(params, xyz, dirs, hidden_dim=hidden_dim)
 
 
 def make_siren_field_fn(rays_d: jax.Array, hidden_dim: int = 256):
-    """render_rays field_fn adapter: broadcasts raw per-ray directions to
-    samples (the SIREN color branch consumes raw dirs, not embeddings)."""
-    def field_fn(params, xyz, dir_emb):
-        r, s, _ = xyz.shape
-        dirs = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3))
-        out = apply_siren_nerf(params, xyz, dirs, hidden_dim=hidden_dim)
-        if dir_emb is None:
-            return out[..., 3:4]
-        return out
-    return field_fn
+    """Compatibility wrapper around siren_field_fn (rays_d is unused — raw
+    dirs come from the embedding passthrough)."""
+    import functools
+    return functools.partial(siren_field_fn, hidden_dim=hidden_dim)

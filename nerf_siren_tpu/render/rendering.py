@@ -187,6 +187,10 @@ def render_rays(
         result["rgb_coarse"] = comp["rgb"]
         result["depth_coarse"] = comp["depth"]
         result["opacity_coarse"] = comp["opacity"]
+        if raw.shape[-1] > 4:  # field-level semantic head (NeRF_3D layout
+            # [rgb, sigma, cls...], reference models/nerf_cls.py:111)
+            result["cls_coarse"] = jnp.sum(
+                comp["weights"][..., None] * raw[..., 4:], axis=-2)
         weights_coarse = comp["weights"]
 
     if cfg.n_importance > 0:
@@ -207,6 +211,9 @@ def render_rays(
         result["rgb_fine"] = comp["rgb"]
         result["depth_fine"] = comp["depth"]
         result["opacity_fine"] = comp["opacity"]
+        if raw.shape[-1] > 4:
+            result["cls_fine"] = jnp.sum(
+                comp["weights"][..., None] * raw[..., 4:], axis=-2)
 
     return result
 

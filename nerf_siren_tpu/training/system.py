@@ -49,6 +49,10 @@ class NeRFSystem:
         nerf_cfg: NeRFConfig = NeRFConfig(),
         steps_per_epoch: int = 1000,
         mesh: Optional[Mesh] = None,
+        field_type: str = "mlp",           # 'mlp' | 'siren'
+        siren_hidden: int = 256,
+        siren_layers: int = 8,
+        siren_z_dim: int = 100,
     ):
         self.render_cfg = render_cfg
         self.train_cfg = train_cfg
@@ -58,16 +62,34 @@ class NeRFSystem:
         self.tx = get_optimizer(train_cfg, steps_per_epoch)
         self.lr_schedule = make_lr_schedule(train_cfg, steps_per_epoch)
         self.loss_fn = loss_dict[train_cfg.loss_type]
+        self.field_type = field_type
+        self.siren_hidden = siren_hidden
+        self.siren_layers = siren_layers
+        self.siren_z_dim = siren_z_dim
         self._train_step = None
         self._render_fn = None
+
+    def _field_fn(self, rays=None):
+        """Field override; None selects the default MLP field."""
+        if self.field_type == "siren":
+            from nerf_siren_tpu.models.siren import siren_field_fn
+            return functools.partial(siren_field_fn, hidden_dim=self.siren_hidden)
+        return None
 
     # -- state ----------------------------------------------------------------
 
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         k_coarse, k_fine = jax.random.split(rng)
-        params = {"coarse": init_nerf(k_coarse, self.nerf_cfg)}
+        if self.field_type == "siren":
+            from nerf_siren_tpu.models.siren import init_siren_nerf
+            make = lambda k: init_siren_nerf(
+                k, self.siren_hidden, self.siren_layers, self.siren_z_dim,
+                n_classes=self.nerf_cfg.n_classes)
+        else:
+            make = lambda k: init_nerf(k, self.nerf_cfg)
+        params = {"coarse": make(k_coarse)}
         if self.render_cfg.n_importance > 0:
-            params["fine"] = init_nerf(k_fine, self.nerf_cfg)
+            params["fine"] = make(k_fine)
         return params
 
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -85,6 +107,7 @@ class NeRFSystem:
         render_cfg = self.render_cfg.replace(test_time=False)
         nerf_cfg = self.nerf_cfg
         tx, loss_fn = self.tx, self.loss_fn
+        field_fn_for = self._field_fn
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, rays: jax.Array, rgbs: jax.Array,
@@ -92,7 +115,8 @@ class NeRFSystem:
             step_rng = jax.random.fold_in(rng, state.step)
 
             def compute_loss(params):
-                out = render_rays(params, rays, render_cfg, step_rng, nerf_cfg=nerf_cfg)
+                out = render_rays(params, rays, render_cfg, step_rng,
+                                  nerf_cfg=nerf_cfg, field_fn=field_fn_for(rays))
                 losses = loss_fn(out, rgbs, cls_target=cls_target)
                 return losses["sum"], (losses, out)
 
@@ -130,9 +154,13 @@ class NeRFSystem:
         perturb=0, noise=0 (reference eval.py uses the same settings)."""
         cfg = self.render_cfg.replace(test_time=test_time, perturb=0.0, noise_std=0.0)
         if self._render_fn is None:
+            field_fn_for = self._field_fn
+
             @functools.partial(jax.jit, static_argnames=("cfg",))
             def render_fn(params, rays, cfg):
-                return render_rays_chunked(params, rays, cfg, None, nerf_cfg=self.nerf_cfg)
+                return render_rays_chunked(params, rays, cfg, None,
+                                           nerf_cfg=self.nerf_cfg,
+                                           field_fn=field_fn_for(rays))
             self._render_fn = render_fn
         n = rays.shape[0]
         pad = -n % self.render_cfg.chunk if n > self.render_cfg.chunk else 0

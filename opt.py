@@ -19,6 +19,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('-sn', '--semantic_network', type=str, default='pointnet',
                         choices=['pointnet', 'conv3d'],
                         help='network for semantic features (d3 modes)')
+    parser.add_argument('--field', type=str, default='mlp',
+                        choices=['mlp', 'siren'],
+                        help='radiance field: positional-encoding MLP or '
+                             'SIREN/FiLM (mode=normal)')
+    parser.add_argument('--n_classes', type=int, default=0,
+                        help='>0 adds the nerf_cls semantic head to the field '
+                             '(mode=normal; use with --loss_type msece)')
     parser.add_argument('--pretrained', type=str, default=None,
                         help='pretrained-model ckpt to warm-start from')
     parser.add_argument('--img_wh', nargs='+', type=int, default=[800, 800],

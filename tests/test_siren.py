@@ -86,3 +86,41 @@ def test_siren_trains_in_render_rays(rng):
     # the learnable z receives gradient through the mapping network
     gz = jax.grad(loss)(p)["z"]
     assert float(jnp.abs(gz).sum()) > 0
+
+
+def test_siren_system_with_cls_head_on_replica(rng):
+    """BASELINE config 4: SIREN-activation NeRF + semantic nerf_cls head on
+    Replica-format data."""
+    from nerf_siren_tpu.config import NeRFConfig, TrainConfig
+    from nerf_siren_tpu.training.system import NeRFSystem
+    from nerf_siren_tpu.datasets import dataset_dict
+    from tests.datasets_synthetic import make_replica_dataset
+    import tempfile
+
+    root = make_replica_dataset(tempfile.mkdtemp(), n_frames=6, hw=(20, 16))
+    ds = dataset_dict["replica"](root, "train", img_wh=(20, 16),
+                                 total_num=6, step=2)
+    # replica classes in the fixture are {0,1,2}
+    system = NeRFSystem(
+        RenderConfig(n_samples=16, perturb=1.0, noise_std=1.0),
+        TrainConfig(lr=1e-3, loss_type="msece", decay_step=(100,)),
+        NeRFConfig(n_classes=3),
+        steps_per_epoch=4,
+        field_type="siren", siren_hidden=64, siren_layers=3, siren_z_dim=16)
+
+    state = system.init_state(jax.random.PRNGKey(0))
+    assert "parse" in state.params["coarse"]        # cls head exists
+    assert "network" in state.params["coarse"]      # FiLM trunk
+
+    batch = {"rays": ds.all_rays[:320], "rgbs": ds.all_rgbs[:320],
+             "cls": ds.all_cls[:320]}
+    losses = []
+    for _ in range(4):
+        state, m = system.train_step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["train/loss"]))
+    assert np.isfinite(losses).all()
+
+    out = system.render(state.params, ds.all_rays[:64])
+    assert out["cls_coarse"].shape == (64, 3)
+    assert out["rgb_coarse"].shape == (64, 3)
+    assert np.isfinite(out["cls_coarse"]).all()

@@ -49,14 +49,16 @@ def build_system(hparams, white_back: bool, steps_per_epoch: int, n_classes: int
         loss_type=hparams.loss_type,
         seed=hparams.seed,
     )
-    nerf_cfg = NeRFConfig()
+    field_classes = getattr(hparams, "n_classes", 0) or 0
+    nerf_cfg = NeRFConfig(n_classes=field_classes)
     devices = jax.devices()
     if hparams.num_chips and hparams.num_chips < len(devices):
         devices = devices[: hparams.num_chips]
     mesh = make_mesh(devices=devices)
 
     if hparams.mode == "normal":
-        system = NeRFSystem(render_cfg, train_cfg, nerf_cfg, steps_per_epoch, mesh)
+        system = NeRFSystem(render_cfg, train_cfg, nerf_cfg, steps_per_epoch, mesh,
+                            field_type=getattr(hparams, "field", "mlp"))
     elif hparams.mode in ("d3", "d3_ib"):
         from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
 
