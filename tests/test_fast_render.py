@@ -73,3 +73,31 @@ def test_fast_render_matches_exact():
     # and agree pixelwise
     agreement = float(psnr(fast["rgb_coarse"], exact["rgb_coarse"]))
     assert agreement > 25, f"fast/exact divergence: {agreement:.2f} dB"
+
+
+def test_proxy_select_kernel_matches_jnp(rng):
+    """The pallas proxy_select kernel must select exactly the same depths as
+    the bf16 jnp path (set equality per ray; tie order may differ)."""
+    import jax.numpy as jnp
+    from nerf_siren_tpu.ops.pallas.proxy_select import (
+        pack_proxy_params, proxy_select)
+
+    proxy = init_proxy(jax.random.PRNGKey(1))
+    packed = pack_proxy_params(proxy)
+    n = 70  # non-multiple of the ray tile
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = jnp.asarray(np.concatenate(
+        [rng.normal(size=(n, 3)).astype(np.float32) * 0.2, d,
+         np.full((n, 1), 2, np.float32), np.full((n, 1), 6, np.float32)], -1))
+
+    nc, nk = 32, 8
+    t = jnp.linspace(0, 1, nc)
+    z = rays[:, 6:7] * (1 - t) + rays[:, 7:8] * t
+    xyz = rays[:, None, 0:3] + rays[:, None, 3:6] * z[..., None]
+    scores = apply_proxy(proxy, xyz, jnp.bfloat16)
+    _, idx = jax.lax.top_k(scores, nk)
+    z_ref = np.sort(np.asarray(jnp.take_along_axis(z, idx, -1)), -1)
+
+    z_got = np.sort(np.asarray(proxy_select(packed, rays, nc, nk)), -1)
+    np.testing.assert_allclose(z_got, z_ref, atol=1e-5)
