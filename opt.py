@@ -72,6 +72,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--decay_gamma', type=float, default=0.1)
     parser.add_argument('--poly_exp', type=float, default=0.9)
 
+    # EG3D triplane options (mode=eg3d; defaults match the reference's
+    # hardcoded init_kwargs, eg3d_renderer.py:30-36)
+    parser.add_argument('--eg3d_plane_res', type=int, default=256)
+    parser.add_argument('--eg3d_channel_base', type=int, default=32768)
+    parser.add_argument('--eg3d_channel_max', type=int, default=512)
+    parser.add_argument('--eg3d_z_dim', type=int, default=512)
+    parser.add_argument('--eg3d_ray_start', type=float, default=0.1)
+    parser.add_argument('--eg3d_ray_end', type=float, default=10.0)
+    parser.add_argument('--eg3d_box_warp', type=float, default=15.0)
+
     parser.add_argument('--exp_name', type=str, default='exp')
     parser.add_argument('--seed', type=int, default=42)
     parser.add_argument('--val_every', type=int, default=1,

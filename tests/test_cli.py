@@ -169,3 +169,39 @@ def test_extract_color_mesh_cli(workdir, scene_root):
         assert len(v) >= 0 and (c is None or len(c) == len(v))
     finally:
         os.chdir(cwd)
+
+
+def test_train_cli_eg3d(tmp_path_factory, scene_root):
+    """mode=eg3d end-to-end at a tiny triplane config."""
+    wd = tmp_path_factory.mktemp("train_run_eg3d")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from opt import get_opts
+        from train import main
+        hparams = get_opts([
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--mode", "eg3d",
+            "--img_wh", "40", "40",
+            "--N_samples", "12", "--N_importance", "8",
+            "--batch_size", "800",
+            "--num_epochs", "1",
+            "--lr", "1e-2",
+            "--decay_step", "100",
+            "--exp_name", "smoke_eg3d",
+            "--eg3d_plane_res", "16",
+            "--eg3d_channel_base", "512",
+            "--eg3d_channel_max", "32",
+            "--eg3d_z_dim", "32",
+            "--eg3d_ray_start", "2.0",
+            "--eg3d_ray_end", "6.0",
+            "--eg3d_box_warp", "8.0",
+        ])
+        state = main(hparams)
+        assert int(state.step) > 0
+        assert "eg3d_renderer" in state.params
+        ckpts = glob.glob(os.path.join(wd, "ckpts", "smoke_eg3d", "*.msgpack"))
+        assert ckpts
+    finally:
+        os.chdir(cwd)

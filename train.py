@@ -66,9 +66,23 @@ def build_system(hparams, white_back: bool, steps_per_epoch: int, n_classes: int
                               semantic_network=hparams.semantic_network,
                               n_classes=n_classes or 6)
     elif hparams.mode == "eg3d":
+        from nerf_siren_tpu.render.triplane import RenderingOptions, TriPlaneConfig
         from nerf_siren_tpu.training.eg3d_system import EG3DSystem
 
-        system = EG3DSystem(render_cfg, train_cfg, steps_per_epoch, mesh)
+        tri_cfg = TriPlaneConfig(
+            z_dim=hparams.eg3d_z_dim, w_dim=hparams.eg3d_z_dim,
+            plane_resolution=hparams.eg3d_plane_res,
+            channel_base=hparams.eg3d_channel_base,
+            channel_max=hparams.eg3d_channel_max,
+            rendering=RenderingOptions(
+                depth_resolution=hparams.N_samples,
+                depth_resolution_importance=max(hparams.N_importance, 1),
+                ray_start=hparams.eg3d_ray_start,
+                ray_end=hparams.eg3d_ray_end,
+                box_warp=hparams.eg3d_box_warp,
+                white_back=white_back))
+        system = EG3DSystem(render_cfg, train_cfg, steps_per_epoch, mesh,
+                            triplane_cfg=tri_cfg)
     else:
         raise ValueError(f"unknown mode {hparams.mode!r}")
     return system
