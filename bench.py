@@ -85,10 +85,11 @@ def main():
     @jax.jit
     def fast_frame(params, proxy, tiles):
         def tile_fn(t):
-            # 64 candidates align with the exact renderer's coarse grid;
-            # keep-16 agrees with the exact render at 39 dB in tests
-            out = render_rays_fast(params, proxy, t, n_candidates=64,
-                                   n_keep=16, nerf_cfg=nerf_cfg, white_back=True)
+            # lego-scale scene AABB + 32 candidates / keep-12: >30 dB
+            # agreement with the exact render in tests/test_fast_render.py
+            out = render_rays_fast(params, proxy, t, n_candidates=32,
+                                   n_keep=12, nerf_cfg=nerf_cfg, white_back=True,
+                                   scene_aabb=([-1.3, -1.3, -1.3], [1.3, 1.3, 1.3]))
             return out["rgb_fine"]
         rgb = jax.lax.map(tile_fn, tiles)
         return jnp.sum(rgb)

@@ -122,12 +122,31 @@ def render_rays_fast(
     compute_dtype=jnp.bfloat16,
     n_freqs_xyz: int = 10,
     n_freqs_dir: int = 4,
+    scene_aabb=None,
 ) -> Dict[str, jax.Array]:
-    """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity."""
+    """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity.
+
+    scene_aabb: optional ((3,), (3,)) min/max of the occupied region —
+    analytically tightens each ray's [near, far] to the AABB intersection
+    (pure arithmetic, no gathers), concentrating all candidates where the
+    scene lives. Rays missing the box keep their original bounds (they
+    composite to background anyway)."""
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     r = rays.shape[0]
+
+    if scene_aabb is not None:
+        lo = jnp.asarray(scene_aabb[0], jnp.float32)
+        hi = jnp.asarray(scene_aabb[1], jnp.float32)
+        invd = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
+        t_lo = (lo - rays_o) * invd
+        t_hi = (hi - rays_o) * invd
+        t_min = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1, keepdims=True)
+        t_max = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1, keepdims=True)
+        hits = t_max > jnp.maximum(t_min, 0.0)
+        near = jnp.where(hits, jnp.clip(t_min, near, far), near)
+        far = jnp.where(hits, jnp.clip(t_max, near, far), far)
 
     # 1. uniform candidates
     t = jnp.linspace(0.0, 1.0, n_candidates)
