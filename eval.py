@@ -35,6 +35,15 @@ def get_opts(args=None):
                         choices=['pfm', 'bytes'])
     parser.add_argument('--compute_dtype', type=str, default='bfloat16',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--renderer', type=str, default='exact',
+                        choices=['exact', 'fast'],
+                        help="'fast' distills a density proxy from the "
+                             "checkpoint and renders with proxy-culled "
+                             "sampling (~10x faster, quality-validated)")
+    parser.add_argument('--fast_candidates', type=int, default=64)
+    parser.add_argument('--fast_keep', type=int, default=16)
+    parser.add_argument('--fast_distill_steps', type=int, default=500)
+    parser.add_argument('--fast_distill_batch', type=int, default=65536)
     return parser.parse_args(args)
 
 
@@ -74,10 +83,51 @@ def main(hparams):
         params['fine'] = load_ckpt(init_nerf(jax.random.PRNGKey(1), nerf_cfg),
                                    hparams.ckpt_path, 'nerf_fine')
 
-    @functools.partial(jax.jit, static_argnames=())
-    def render(params, rays):
-        return render_rays_chunked(params, rays, render_cfg, None,
-                                   nerf_cfg=nerf_cfg, compute_dtype=compute_dtype)
+    if hparams.renderer == 'fast':
+        from nerf_siren_tpu.models.embedding import positional_encoding
+        from nerf_siren_tpu.models.nerf import apply_nerf
+        from nerf_siren_tpu.render.fast import (
+            distill_proxy, estimate_scene_aabb, render_rays_fast)
+
+        model_key = 'fine' if 'fine' in params else 'coarse'
+
+        def sigma_fn(pts):
+            emb = positional_encoding(pts, 10)
+            return apply_nerf(params[model_key], emb, None, cfg=nerf_cfg)[:, 0]
+
+        # search volume from the dataset's depth bounds around the origin
+        half = float(np.max(np.abs(dataset.bounds))) * 0.5
+        print('distilling density proxy ...', flush=True)
+        proxy = distill_proxy(sigma_fn, [-half] * 3, [half] * 3,
+                              jax.random.PRNGKey(7),
+                              steps=hparams.fast_distill_steps,
+                              batch=hparams.fast_distill_batch)
+        aabb = estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3)
+        print(f'scene AABB: {np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}',
+              flush=True)
+
+        @jax.jit
+        def render(params, rays):
+            n = rays.shape[0]
+            chunk = min(hparams.chunk, n)
+            n_tiles = -(-n // chunk)
+            tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
+            tiles = tiles.reshape(n_tiles, chunk, 8)
+            out = jax.lax.map(
+                lambda t: render_rays_fast(
+                    params, proxy, t,
+                    n_candidates=hparams.fast_candidates,
+                    n_keep=hparams.fast_keep, nerf_cfg=nerf_cfg,
+                    model=model_key, white_back=dataset.white_back,
+                    compute_dtype=compute_dtype, scene_aabb=aabb),
+                tiles)
+            return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+                    for k, v in out.items()}
+    else:
+        @functools.partial(jax.jit, static_argnames=())
+        def render(params, rays):
+            return render_rays_chunked(params, rays, render_cfg, None,
+                                       nerf_cfg=nerf_cfg, compute_dtype=compute_dtype)
 
     out_dir = os.path.join('results', hparams.dataset_name, hparams.scene_name)
     os.makedirs(out_dir, exist_ok=True)

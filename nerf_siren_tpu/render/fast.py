@@ -191,3 +191,26 @@ def render_rays_fast(
     depth = jnp.sum(weights * z_sel, -1)
     return {f"rgb_{model}": rgb, f"depth_{model}": depth,
             f"opacity_{model}": opacity}
+
+
+def estimate_scene_aabb(sigma_fn: Callable[[jax.Array], jax.Array],
+                        search_min, search_max, resolution: int = 64,
+                        threshold: float = 5.0, margin: float = 0.05):
+    """Bounding box of the occupied region: probe a coarse sigma grid and
+    take the extent of cells above `threshold`, padded by `margin` of the
+    search range. Falls back to the full search box when nothing exceeds
+    the threshold."""
+    import numpy as np
+
+    lo = np.asarray(search_min, np.float32)
+    hi = np.asarray(search_max, np.float32)
+    axes = [np.linspace(lo[i], hi[i], resolution, dtype=np.float32)
+            for i in range(3)]
+    pts = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    sigma = np.asarray(sigma_fn(jnp.asarray(pts))).reshape(-1)
+    occ = pts[sigma > threshold]
+    if len(occ) == 0:
+        return lo, hi
+    pad = margin * (hi - lo)
+    return (np.maximum(occ.min(0) - pad, lo),
+            np.minimum(occ.max(0) + pad, hi))
