@@ -77,30 +77,35 @@ def main():
     value = rays_per_sec / n_chips
 
     # secondary: the proxy-culled fast path (render/fast.py) — same scene
-    # shapes, quality validated against the exact renderer in tests
+    # shapes, quality validated against the exact renderer in
+    # tests/test_fast_render.py (agreement figures measured there on the
+    # multi-view synthetic scene)
     from nerf_siren_tpu.render.fast import init_proxy, render_rays_fast
 
     proxy = init_proxy(jax.random.PRNGKey(2))
+    aabb = ([-1.3, -1.3, -1.3], [1.3, 1.3, 1.3])  # lego-scale occupied box
 
-    @jax.jit
-    def fast_frame(params, proxy, tiles):
-        def tile_fn(t):
-            # lego-scale scene AABB + 32 candidates / keep-12: >30 dB
-            # agreement with the exact render in tests/test_fast_render.py
-            out = render_rays_fast(params, proxy, t, n_candidates=32,
-                                   n_keep=12, nerf_cfg=nerf_cfg, white_back=True,
-                                   scene_aabb=([-1.3, -1.3, -1.3], [1.3, 1.3, 1.3]))
-            return out["rgb_fine"]
-        rgb = jax.lax.map(tile_fn, tiles)
-        return jnp.sum(rgb)
+    def time_fast(n_candidates, n_keep):
+        @jax.jit
+        def fast_frame(params, proxy, tiles):
+            def tile_fn(t):
+                out = render_rays_fast(params, proxy, t,
+                                       n_candidates=n_candidates, n_keep=n_keep,
+                                       nerf_cfg=nerf_cfg, white_back=True,
+                                       scene_aabb=aabb)
+                return out["rgb_fine"]
+            return jnp.sum(jax.lax.map(tile_fn, tiles))
 
-    float(fast_frame(params, proxy, tiles))
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        chk = fast_frame(params, proxy, tiles)
-    float(chk)
-    fast_dt = time.perf_counter() - t0
-    fast_value = n_rays_frame * n_iters / fast_dt / n_chips
+        float(fast_frame(params, proxy, tiles))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            chk = fast_frame(params, proxy, tiles)
+        float(chk)
+        fdt = time.perf_counter() - t0
+        return n_rays_frame * n_iters / fdt / n_chips, fdt / n_iters
+
+    fast_hi_q, fast_hi_q_lat = time_fast(64, 16)   # ~39dB agreement
+    fast_fast, fast_fast_lat = time_fast(32, 8)    # ~30dB agreement
 
     print(json.dumps({
         "metric": "rays_per_sec_per_chip_lego800_coarse_fine",
@@ -108,11 +113,14 @@ def main():
         "unit": "rays/s/chip",
         "vs_baseline": round(value / 5e6, 4),
         "secondary": {
-            "fast_path_rays_per_sec_per_chip": round(fast_value, 1),
-            "fast_path_note": "proxy-culled renderer (render/fast.py), "
-                              ">30dB agreement with exact render in tests",
+            "fast_path_conservative_rays_per_sec": round(fast_hi_q, 1),
+            "fast_path_aggressive_rays_per_sec": round(fast_fast, 1),
+            "fast_path_note": "proxy-culled renderer (render/fast.py); "
+                              "conservative=64cand/keep16 (~39dB agreement "
+                              "with exact render), aggressive=32/8 (~30dB)",
             "p50_full_frame_latency_s": round(dt / n_iters, 4),
-            "fast_p50_full_frame_latency_s": round(fast_dt / n_iters, 4),
+            "fast_p50_frame_latency_conservative_s": round(fast_hi_q_lat, 4),
+            "fast_p50_frame_latency_aggressive_s": round(fast_fast_lat, 4),
         },
     }))
 
