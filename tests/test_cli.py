@@ -233,3 +233,36 @@ def test_eval_cli_fast_renderer(workdir, scene_root):
         assert len(pngs) == 2
     finally:
         os.chdir(cwd)
+
+
+def test_eval_cli_llff_spiral_no_gt(tmp_path_factory):
+    """LLFF test split renders a spiral path with no ground truth: eval
+    must write frames and return None for PSNR."""
+    from tests.datasets_synthetic import make_llff_dataset
+    scene = make_llff_dataset(str(tmp_path_factory.mktemp("llff_eval")))
+    wd = tmp_path_factory.mktemp("eval_llff")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        import jax
+        from nerf_siren_tpu.models.nerf import init_nerf
+        from nerf_siren_tpu.training.checkpoints import save_checkpoint
+        ckpt = str(wd / "w.msgpack")
+        save_checkpoint(ckpt, {"nerf_coarse": init_nerf(jax.random.PRNGKey(0))})
+
+        from eval import get_opts as eval_opts, main as eval_main
+        mean_psnr = eval_main(eval_opts([
+            "--root_dir", scene,
+            "--dataset_name", "llff",
+            "--split", "test",
+            "--img_wh", "40", "30",
+            "--N_samples", "16", "--N_importance", "0",
+            "--ckpt_path", ckpt,
+            "--scene_name", "fern_like",
+            "--compute_dtype", "float32",
+        ]))
+        assert mean_psnr is None  # spiral path has no GT
+        pngs = glob.glob(os.path.join(wd, "results", "llff", "fern_like", "*.png"))
+        assert len(pngs) == 120  # default spiral poses
+    finally:
+        os.chdir(cwd)
