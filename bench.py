@@ -107,6 +107,27 @@ def main():
     fast_hi_q, fast_hi_q_lat = time_fast(64, 16)   # ~39dB agreement
     fast_fast, fast_fast_lat = time_fast(32, 8)    # ~30dB agreement
 
+    # training-step time at the reference's headline recipe (batch 1024,
+    # 64+128 samples; reference README reports 0.12 s/step on a 2080 Ti)
+    from nerf_siren_tpu.config import TrainConfig
+    from nerf_siren_tpu.training.system import NeRFSystem
+
+    system = NeRFSystem(
+        RenderConfig(n_samples=64, n_importance=128, perturb=1.0,
+                     noise_std=1.0, white_back=True),
+        TrainConfig(lr=5e-4, batch_size=1024, decay_step=(2, 4, 8)),
+        nerf_cfg, steps_per_epoch=1000)
+    state = system.init_state(jax.random.PRNGKey(3))
+    batch = {"rays": rays_np[:1024], "rgbs": rng.uniform(0, 1, (1024, 3)).astype(np.float32)}
+    key = jax.random.PRNGKey(4)
+    state, m = system.train_step(state, batch, key)
+    float(m["train/loss"])
+    t0 = time.perf_counter()
+    for _ in range(20):
+        state, m = system.train_step(state, batch, key)
+    float(m["train/loss"])
+    train_step_s = (time.perf_counter() - t0) / 20
+
     print(json.dumps({
         "metric": "rays_per_sec_per_chip_lego800_coarse_fine",
         "value": round(value, 1),
@@ -121,6 +142,9 @@ def main():
             "p50_full_frame_latency_s": round(dt / n_iters, 4),
             "fast_p50_frame_latency_conservative_s": round(fast_hi_q_lat, 4),
             "fast_p50_frame_latency_aggressive_s": round(fast_fast_lat, 4),
+            "train_step_s_batch1024_64c128f": round(train_step_s, 4),
+            "train_step_note": "reference reports 0.12 s/step for the same "
+                               "recipe on one RTX 2080 Ti (README.md:138-144)",
         },
     }))
 
