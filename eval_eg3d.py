@@ -24,6 +24,15 @@ def get_opts(args=None):
     parser.add_argument('--spheric_poses', default=False, action='store_true')
     parser.add_argument('--chunk', type=int, default=4096)
     parser.add_argument('--ckpt_path', type=str, required=True)
+    parser.add_argument('--eg3d_plane_res', type=int, default=256)
+    parser.add_argument('--eg3d_channel_base', type=int, default=32768)
+    parser.add_argument('--eg3d_channel_max', type=int, default=512)
+    parser.add_argument('--eg3d_z_dim', type=int, default=512)
+    parser.add_argument('--N_samples', type=int, default=64)
+    parser.add_argument('--N_importance', type=int, default=64)
+    parser.add_argument('--eg3d_ray_start', type=float, default=0.1)
+    parser.add_argument('--eg3d_ray_end', type=float, default=10.0)
+    parser.add_argument('--eg3d_box_warp', type=float, default=15.0)
     return parser.parse_args(args)
 
 
@@ -44,7 +53,20 @@ def main(hparams):
         kwargs['spheric_poses'] = hparams.spheric_poses
     dataset = dataset_dict[hparams.dataset_name](**kwargs)
 
-    system = EG3DSystem(RenderConfig(), TrainConfig(), steps_per_epoch=1)
+    from nerf_siren_tpu.render.triplane import RenderingOptions, TriPlaneConfig
+    tri_cfg = TriPlaneConfig(
+        z_dim=hparams.eg3d_z_dim, w_dim=hparams.eg3d_z_dim,
+        plane_resolution=hparams.eg3d_plane_res,
+        channel_base=hparams.eg3d_channel_base,
+        channel_max=hparams.eg3d_channel_max,
+        rendering=RenderingOptions(
+            depth_resolution=hparams.N_samples,
+            depth_resolution_importance=max(hparams.N_importance, 1),
+            ray_start=hparams.eg3d_ray_start, ray_end=hparams.eg3d_ray_end,
+            box_warp=hparams.eg3d_box_warp,
+            white_back=dataset.white_back))
+    system = EG3DSystem(RenderConfig(), TrainConfig(), steps_per_epoch=1,
+                        triplane_cfg=tri_cfg)
     params = system.init_params(jax.random.PRNGKey(0))
     params['eg3d_renderer'] = load_ckpt(params['eg3d_renderer'],
                                         hparams.ckpt_path, 'eg3d_renderer')

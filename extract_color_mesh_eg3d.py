@@ -24,6 +24,11 @@ def get_opts(args=None):
     parser.add_argument('--chunk', type=int, default=65536)
     parser.add_argument('--colorize', default=False, action='store_true')
     parser.add_argument('--out_dir', type=str, default='results/meshes')
+    parser.add_argument('--eg3d_plane_res', type=int, default=256)
+    parser.add_argument('--eg3d_channel_base', type=int, default=32768)
+    parser.add_argument('--eg3d_channel_max', type=int, default=512)
+    parser.add_argument('--eg3d_z_dim', type=int, default=512)
+    parser.add_argument('--eg3d_box_warp', type=float, default=15.0)
     return parser.parse_args(args)
 
 
@@ -38,7 +43,13 @@ def main(hparams):
     )
     from nerf_siren_tpu.training.checkpoints import load_ckpt
 
-    cfg = TriPlaneConfig()
+    from nerf_siren_tpu.render.triplane import RenderingOptions
+    cfg = TriPlaneConfig(
+        z_dim=hparams.eg3d_z_dim, w_dim=hparams.eg3d_z_dim,
+        plane_resolution=hparams.eg3d_plane_res,
+        channel_base=hparams.eg3d_channel_base,
+        channel_max=hparams.eg3d_channel_max,
+        rendering=RenderingOptions(box_warp=hparams.eg3d_box_warp))
     params = init_eg3d_renderer(jax.random.PRNGKey(0), cfg)
     params = load_ckpt(params, hparams.ckpt_path, 'eg3d_renderer')
 

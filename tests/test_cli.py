@@ -266,3 +266,47 @@ def test_eval_cli_llff_spiral_no_gt(tmp_path_factory):
         assert len(pngs) == 120  # default spiral poses
     finally:
         os.chdir(cwd)
+
+
+def test_eval_and_mesh_eg3d_cli(tmp_path_factory, scene_root):
+    """eval_eg3d.py and extract_color_mesh_eg3d.py on a tiny trained ckpt."""
+    wd = tmp_path_factory.mktemp("eg3d_tools")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    tiny = ["--eg3d_plane_res", "16", "--eg3d_channel_base", "512",
+            "--eg3d_channel_max", "32", "--eg3d_z_dim", "32"]
+    try:
+        from opt import get_opts
+        from train import main
+        state = main(get_opts([
+            "--root_dir", scene_root, "--dataset_name", "blender",
+            "--mode", "eg3d", "--img_wh", "40", "40",
+            "--N_samples", "12", "--N_importance", "8",
+            "--batch_size", "800", "--num_epochs", "1",
+            "--lr", "1e-2", "--decay_step", "100",
+            "--exp_name", "eg3d_tools",
+            "--eg3d_ray_start", "2.0", "--eg3d_ray_end", "6.0",
+            "--eg3d_box_warp", "8.0"] + tiny))
+        ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "eg3d_tools",
+                                             "*.msgpack")))[-1]
+
+        from eval_eg3d import get_opts as eopts, main as emain
+        mean_psnr = emain(eopts([
+            "--root_dir", scene_root, "--dataset_name", "blender",
+            "--split", "test", "--img_wh", "40", "40",
+            "--ckpt_path", ckpt, "--scene_name", "eg3d_eval",
+            "--N_samples", "12", "--N_importance", "8",
+            "--eg3d_ray_start", "2.0", "--eg3d_ray_end", "6.0",
+            "--eg3d_box_warp", "8.0", "--chunk", "800"] + tiny))
+        assert mean_psnr is not None and np.isfinite(mean_psnr)
+        assert glob.glob(os.path.join(wd, "results", "blender", "eg3d_eval", "*.png"))
+
+        from extract_color_mesh_eg3d import get_opts as mopts, main as mmain
+        out = mmain(mopts([
+            "--ckpt_path", ckpt, "--N_grid", "32",
+            "--cube_length", "4.0", "--sigma_threshold", "0.5",
+            "--scene_name", "eg3d_mesh", "--colorize",
+            "--eg3d_box_warp", "8.0"] + tiny))
+        assert os.path.exists(out)
+    finally:
+        os.chdir(cwd)
