@@ -9,16 +9,20 @@ and let IT score all candidate samples — pure MXU matmuls, no gathers — then
 evaluate the full model only at each ray's top-K scoring samples.
 
 Pipeline (render_rays_fast):
-1. march S_c uniform candidates per ray (static shapes),
-2. proxy sigma on all candidates (cheap),
-3. per-ray top-K by proxy score, selected depths sorted ascending,
-4. full NeRF MLP at the K survivors, alpha-composite with the candidate
-   spacing as delta (skipped samples are empty, so transmittance through
-   them is ~1 and the integral is preserved).
+1. optionally tighten each ray's [near, far] to the scene AABB (analytic),
+2. march S_c uniform candidates per ray (static shapes),
+3. proxy sigma on all candidates (cheap) → EXPECTED COMPOSITING WEIGHT per
+   candidate (alpha × transmittance under the proxy density),
+4. per-ray top-K by expected weight, depths sorted ascending,
+5. full NeRF MLP at the K survivors, alpha-composite with NeRF's nonuniform
+   consecutive-difference quadrature.
 
 The proxy trains by distillation from the converged field in seconds
-(distill_proxy); quality is validated against the exact renderer in tests.
-This is an eval-path accelerator — training uses the parity renderer.
+(distill_proxy); quality is validated against the exact renderer in tests and
+was tuned on a CONVERGED (27 dB) scene: weight ranking beats raw-σ ranking by
+~8 dB there (σ's argmax sits inside solids, not at the visible surface), and
+sub-interval refinement measurably hurts. This is an eval-path accelerator —
+training uses the parity renderer.
 """
 from __future__ import annotations
 
@@ -123,6 +127,7 @@ def render_rays_fast(
     n_freqs_xyz: int = 10,
     n_freqs_dir: int = 4,
     scene_aabb=None,
+    refine_mult: int = 1,
 ) -> Dict[str, jax.Array]:
     """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity.
 
@@ -148,23 +153,49 @@ def render_rays_fast(
         near = jnp.where(hits, jnp.clip(t_min, near, far), near)
         far = jnp.where(hits, jnp.clip(t_max, near, far), far)
 
-    # 1. uniform candidates
+    def weight_top_k(z, dz, k):
+        """Keep the k candidate depths with the highest EXPECTED COMPOSITING
+        WEIGHT under the proxy density — not the highest raw density: the
+        top-σ samples sit inside solids while rendering needs the visible
+        leading edge (ranking by σ loses ~8 dB at convergence, measured).
+        The proxy predicts log1p(σ), so σ̂ = expm1(score); weights follow the
+        standard transmittance recurrence over the candidate march. Selection
+        uses a one-hot contraction (minor-axis take_along_axis lowers to slow
+        TPU gathers)."""
+        s = z.shape[-1]
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        score = apply_proxy(proxy, xyz, compute_dtype)            # (R, S)
+        sigma_hat = jnp.expm1(jax.nn.relu(score.astype(jnp.float32)))
+        a_hat = 1.0 - jnp.exp(-sigma_hat * dz * dir_norm)
+        tr = jnp.cumprod(1.0 - a_hat + 1e-10, axis=-1)
+        tr = jnp.concatenate([jnp.ones_like(tr[:, :1]), tr[:, :-1]], axis=-1)
+        _, idx = jax.lax.top_k(a_hat * tr, k)
+        idx = jnp.sort(idx, axis=-1)
+        onehot = (idx[..., None] ==
+                  jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2))
+        return jnp.einsum("rks,rs->rk", onehot.astype(z.dtype), z)
+
+    # coarse uniform candidates → keep the highest expected-weight depths
     t = jnp.linspace(0.0, 1.0, n_candidates)
     z = near * (1 - t) + far * t                                  # (R, S)
-    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    spacing = (far - near) / (n_candidates - 1)                   # (R, 1)
 
-    # 2. proxy scores (cheap, no gathers)
-    scores = apply_proxy(proxy, xyz, compute_dtype)               # (R, S)
-
-    # 3. per-ray top-K, depths restored to ascending order.
-    # take_along_axis over the minor axis lowers to slow TPU gathers; a
-    # one-hot contraction does the same selection on the VPU (~2x faster,
-    # measured)
-    _, idx = jax.lax.top_k(scores, n_keep)                        # (R, K)
-    idx = jnp.sort(idx, axis=-1)
-    onehot = (idx[..., None] ==
-              jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_candidates), 2))
-    z_sel = jnp.einsum("rks,rs->rk", onehot.astype(z.dtype), z)   # (R, K)
+    if refine_mult > 1:
+        # hierarchical refinement: split each survivor interval into
+        # refine_mult sub-candidates and re-rank by expected weight.
+        # NOTE: measured WORSE than single-stage at convergence (28.5 dB →
+        # 21.7 dB agreement at x2): the refined keeps collapse into one or
+        # two surface intervals, losing coverage of secondary crossings.
+        # Default refine_mult=1; kept for experimentation.
+        z_coarse = weight_top_k(z, spacing, n_keep)               # (R, K)
+        offs = (jnp.linspace(-0.5, 0.5, refine_mult + 1)[:-1]
+                + 0.5 / refine_mult)                              # (m,)
+        z_sub = (z_coarse[..., None] + offs * spacing[..., None])  # (R, K, m)
+        z_sub = jnp.sort(z_sub.reshape(z_sub.shape[0], -1), axis=-1)
+        z_sel = weight_top_k(z_sub, spacing / refine_mult, n_keep)
+        spacing = spacing / refine_mult
+    else:
+        z_sel = weight_top_k(z, spacing, n_keep)
     xyz_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
 
     # 4. full model at the survivors
@@ -174,11 +205,13 @@ def render_rays_fast(
     raw = apply_nerf(params[model], emb, dir_b, cfg=nerf_cfg,
                      compute_dtype=compute_dtype)
 
-    # composite with the candidate spacing as delta: the survivors are a
-    # subset of a uniform march whose skipped samples are (per proxy) empty,
-    # so each survivor represents one candidate interval
-    spacing = (far - near) / (n_candidates - 1)                   # (R, 1)
-    deltas = jnp.broadcast_to(spacing, z_sel.shape) * dir_norm
+    # composite with NeRF's nonuniform quadrature: consecutive-difference
+    # deltas over the kept (sorted) depths, final delta = one candidate
+    # interval. Constant tiny deltas systematically under-integrate density
+    # at surfaces (measured -11 dB at convergence).
+    deltas = jnp.concatenate(
+        [z_sel[:, 1:] - z_sel[:, :-1],
+         jnp.broadcast_to(spacing, (z_sel.shape[0], 1))], axis=-1) * dir_norm
     sigmas = jax.nn.relu(raw[..., 3])
     alphas = 1.0 - jnp.exp(-deltas * sigmas)
     trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
