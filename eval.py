@@ -40,7 +40,7 @@ def get_opts(args=None):
                         help="'fast' distills a density proxy from the "
                              "checkpoint and renders with proxy-culled "
                              "sampling (~10x faster, quality-validated)")
-    parser.add_argument('--fast_candidates', type=int, default=64)
+    parser.add_argument('--fast_candidates', type=int, default=32)
     parser.add_argument('--fast_keep', type=int, default=16)
     parser.add_argument('--fast_distill_steps', type=int, default=500)
     parser.add_argument('--fast_distill_batch', type=int, default=65536)

@@ -83,6 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--eg3d_box_warp', type=float, default=15.0)
 
     parser.add_argument('--exp_name', type=str, default='exp')
+    parser.add_argument('--is_crop', default=False, action='store_true',
+                        help='random-crop image batches (blender_cls_ib)')
+    parser.add_argument('--crop_size', type=int, default=32)
     parser.add_argument('--seed', type=int, default=42)
     parser.add_argument('--val_every', type=int, default=1,
                         help='validate every N epochs')

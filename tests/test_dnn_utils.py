@@ -56,3 +56,26 @@ def test_infinite_batches_sharding():
     # stream continues past epoch boundaries
     for _ in range(20):
         next(it0)
+
+
+def test_label_merge_11():
+    from nerf_siren_tpu.utils.data import merge_cls_11, remap_labels
+    m = merge_cls_11()
+    assert m[1] == 1          # skin
+    assert m[2] == m[3] == 2  # brows
+    assert m[16] == 11        # cloth -> ignore
+    assert m[17] == 10        # hair
+    raw = np.array([[1, 2, 16, 17, 0]])
+    out = remap_labels(raw, m)
+    np.testing.assert_array_equal(out, [[1, 2, 11, 10, 0]])
+
+
+def test_analyze_parse_labels(tmp_path):
+    from PIL import Image
+    from nerf_siren_tpu.utils.data import analyze_parse_labels
+    d = tmp_path / "raw_parse"
+    d.mkdir()
+    Image.fromarray(np.array([[0, 10], [10, 20]], dtype=np.uint8)).save(d / "a.png")
+    res = analyze_parse_labels(str(tmp_path))
+    counts = list(res.values())[0]
+    assert counts == {0: 1, 10: 2, 20: 1}

@@ -145,6 +145,8 @@ def main(hparams):
     kwargs = dict(root_dir=hparams.root_dir, img_wh=tuple(hparams.img_wh))
     if hparams.dataset_name.startswith("llff"):
         kwargs["spheric_poses"] = hparams.spheric_poses
+    if hparams.dataset_name == "blender_cls_ib" and getattr(hparams, "is_crop", False):
+        kwargs.update(is_crop=True, crop_size=hparams.crop_size)
     train_ds = dataset_cls(split="train", **kwargs)
     val_ds = dataset_cls(split="val", **kwargs)
 
