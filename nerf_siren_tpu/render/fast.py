@@ -88,8 +88,10 @@ def distill_proxy(
         uniform = aabb_min + jax.random.uniform(k1, (batch, 3)) * extent
         t_uniform = jnp.log1p(jax.nn.relu(sigma_fn(uniform)))
 
-        # importance half: jitter the densest uniform points
-        _, dense_idx = jax.lax.top_k(t_uniform, batch // 2)
+        # importance half: jitter the densest uniform points (argsort+slice:
+        # lax.top_k with k in the tens of thousands is pathologically slow
+        # on TPU)
+        dense_idx = jax.lax.slice_in_dim(jnp.argsort(-t_uniform), 0, batch // 2)
         seeds = uniform[dense_idx]
         jitter = jax.random.normal(k2, seeds.shape) * (0.05 * extent)
         focus = jnp.clip(seeds + jitter, aabb_min, aabb_max)
