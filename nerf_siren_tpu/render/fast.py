@@ -61,8 +61,8 @@ def distill_proxy(
     sigma_fn: Callable[[jax.Array], jax.Array],
     aabb_min, aabb_max,
     rng: jax.Array,
-    steps: int = 500,
-    batch: int = 65536,
+    steps: int = 300,
+    batch: int = 32768,
     lr: float = 5e-3,
     hidden: int = 32,
 ) -> Dict[str, Any]:
