@@ -62,7 +62,6 @@ def make_shard_map_train_step(
         per_shard, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
     )
 
     @jax.jit
