@@ -44,6 +44,12 @@ def make_shard_map_train_step(
     params/opt_state replicated.
     """
 
+    # NOTE: use the static mesh size, NOT jax.lax.psum(1, axis) — under the
+    # new shard_map's vma tracking a psum of a replicated python constant
+    # silently evaluates to 1 (measured), which would leave the gradients
+    # summed instead of averaged.
+    n_shards = mesh.shape[axis]
+
     def per_shard(params, rays, rgbs, rng):
         # every device computes its shard's gradient, then ALL-REDUCES:
         # the mean over the global batch = mean of per-shard means (equal
@@ -53,9 +59,9 @@ def make_shard_map_train_step(
             return mse_loss(out, rgbs)["sum"]
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        n = jax.lax.psum(1, axis)
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis) / n, grads)
-        loss = jax.lax.psum(loss, axis) / n
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axis) / n_shards, grads)
+        loss = jax.lax.psum(loss, axis) / n_shards
         return grads, loss
 
     sharded = shard_map(

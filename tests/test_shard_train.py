@@ -19,7 +19,8 @@ def test_shard_map_step_matches_auto_partitioned(rng):
 
     render_cfg = RenderConfig(n_samples=16, noise_std=0.0, perturb=0.0)
     nerf_cfg = NeRFConfig(depth=2, width=32)
-    tx = get_optimizer(TrainConfig(lr=1e-3, decay_step=(100,)), 10)
+    tx = get_optimizer(TrainConfig(optimizer="sgd", lr=1e-2, momentum=0.0,
+                                   decay_step=(100,)), 10)
 
     params = {"coarse": init_nerf(jax.random.PRNGKey(0), nerf_cfg)}
     opt_state = tx.init(params)
@@ -50,12 +51,12 @@ def test_shard_map_step_matches_auto_partitioned(rng):
 
     np.testing.assert_allclose(float(m1["train/loss"]), float(loss0),
                                rtol=1e-5, atol=1e-7)
-    # per-shard-mean-then-psum vs global-mean changes f32 summation order;
-    # adam's rsqrt normalization amplifies that on near-zero grads — allow
-    # reduction-order-level tolerance on params (loss compared tightly above)
+    # SGD keeps updates linear in the gradients, so the only difference is
+    # f32 reduction order (per-shard-mean-then-psum vs global mean); adam's
+    # rsqrt normalization would amplify near-zero-grad rounding arbitrarily
     for (ka, a), (kb, b) in zip(
             jax.tree_util.tree_leaves_with_path(p1),
             jax.tree_util.tree_leaves_with_path(p_expected)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=1e-4,
+                                   rtol=1e-4, atol=1e-5,
                                    err_msg=jax.tree_util.keystr(ka))
