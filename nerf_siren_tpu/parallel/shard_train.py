@@ -20,10 +20,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # moved out of experimental in newer jax
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+# Deliberately the EXPERIMENTAL shard_map with check_rep=False: in jax 0.9's
+# `jax.shard_map`, outputs derived from a jax.grad computed inside the mapped
+# function lose their replication (vma) tracking, and the out_specs=P()
+# "repair" inserts an EXTRA psum — psum(g)/n, pmean(g), even g/n-then-psum
+# all come out n× too large (minimal repro in tests/test_shard_train.py's
+# history). The experimental API with check_rep=False trusts the explicit
+# collectives and is numerically correct.
+from jax.experimental.shard_map import shard_map  # noqa: E402
 
 from nerf_siren_tpu.config import NeRFConfig, RenderConfig
 from nerf_siren_tpu.render.rendering import render_rays
@@ -68,6 +72,7 @@ def make_shard_map_train_step(
         per_shard, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
+        check_rep=False,
     )
 
     @jax.jit
