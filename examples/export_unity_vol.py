@@ -4,6 +4,12 @@ see docs/unity.md for the binary layout).
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import struct
 

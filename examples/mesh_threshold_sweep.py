@@ -7,6 +7,12 @@ python examples/mesh_threshold_sweep.py --ckpt_path ... \
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 
 import numpy as np

@@ -310,3 +310,24 @@ def test_eval_and_mesh_eg3d_cli(tmp_path_factory, scene_root):
         assert os.path.exists(out)
     finally:
         os.chdir(cwd)
+
+
+def test_example_render_single_image(workdir, scene_root):
+    """examples/render_single_image.py (the test.ipynb flow, headless)."""
+    import subprocess, sys
+    wd, _ = workdir
+    ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "smoke", "*.msgpack")))[-1]
+    out_dir = os.path.join(wd, "single_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "render_single_image.py"),
+         "--root_dir", scene_root, "--ckpt_path", ckpt,
+         "--img_wh", "40", "40", "--N_samples", "24", "--N_importance", "8",
+         "--out_dir", out_dir],
+        capture_output=True, text=True, timeout=900, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PSNR" in r.stdout and "render time" in r.stdout
+    assert os.path.exists(os.path.join(out_dir, "rgb.png"))
+    assert os.path.exists(os.path.join(out_dir, "depth.png"))
