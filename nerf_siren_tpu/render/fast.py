@@ -42,7 +42,7 @@ from nerf_siren_tpu.render.rendering import composite
 PROXY_FREQS = 5  # 3 * (2*5 + 1) = 33 input channels
 
 
-def init_proxy(key: jax.Array, hidden: int = 32) -> Dict[str, Any]:
+def init_proxy(key: jax.Array, hidden: int = 48) -> Dict[str, Any]:
     k1, k2 = jax.random.split(key)
     in_ch = 3 * (2 * PROXY_FREQS + 1)
     return {"l1": init_linear(k1, in_ch, hidden),
@@ -61,10 +61,10 @@ def distill_proxy(
     sigma_fn: Callable[[jax.Array], jax.Array],
     aabb_min, aabb_max,
     rng: jax.Array,
-    steps: int = 300,
+    steps: int = 400,
     batch: int = 32768,
     lr: float = 5e-3,
-    hidden: int = 32,
+    hidden: int = 48,
 ) -> Dict[str, Any]:
     """Fit the proxy to log1p(relu(sigma)) of the field over the AABB.
 
