@@ -124,8 +124,11 @@ def fuse_colors(params, dataset, verts, hparams):
 
         colors = []
         for i in range(0, n_v, 30000):
-            colors.append(cv2.remap(image, v_img[i:i + 30000, 0],
-                                    v_img[i:i + 30000, 1],
+            # maps must be 2-D (N, 1): with 1-D maps cv2.remap treats them as
+            # one row and returns a single pixel row
+            colors.append(cv2.remap(image,
+                                    v_img[i:i + 30000, 0:1],
+                                    v_img[i:i + 30000, 1:2],
                                     interpolation=cv2.INTER_LINEAR)[:, 0])
         colors = np.vstack(colors)
 
