@@ -159,14 +159,16 @@ def test_extract_color_mesh_cli(workdir, scene_root):
             "--x_range", "-1.5", "1.5",
             "--y_range", "-1.5", "1.5",
             "--z_range", "-1.5", "1.5",
-            "--sigma_threshold", "2.0",
+            "--sigma_threshold", "0.5",
             "--N_samples", "24",
             "--scene_name", "sphere_mesh",
         ]))
         assert os.path.exists(out_path)
         from nerf_siren_tpu.mesh.ply import read_ply
         v, f, c = read_ply(out_path)
-        assert len(v) >= 0 and (c is None or len(c) == len(v))
+        assert (c is None) == (len(v) == 0)
+        if len(v):  # fusion path produced per-vertex colors
+            assert len(c) == len(v) and len(f) > 0
     finally:
         os.chdir(cwd)
 
