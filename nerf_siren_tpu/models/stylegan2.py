@@ -139,9 +139,12 @@ def init_mapping(key, cfg: MappingConfig) -> Dict[str, Any]:
     return p
 
 
-def apply_mapping(params, cfg: MappingConfig, z, c=None,
-                  truncation_psi: float = 1.0,
-                  truncation_cutoff: Optional[int] = None) -> jax.Array:
+def mapping_pre_broadcast(params, cfg: MappingConfig, z, c=None) -> jax.Array:
+    """The mapping network output BEFORE ws broadcast/truncation: (N, w_dim).
+
+    Split out so training can compute the w_avg EMA update from the same
+    value the reference uses (networks_stylegan2.py:251-254 updates w_avg
+    from x right after the FC stack, before broadcasting to num_ws)."""
     x = None
     if cfg.z_dim > 0:
         x = normalize_2nd_moment(z.astype(jnp.float32))
@@ -150,6 +153,22 @@ def apply_mapping(params, cfg: MappingConfig, z, c=None,
         x = jnp.concatenate([x, y], axis=1) if x is not None else y
     for fc in params["fcs"]:
         x = apply_fc(fc, x, activation="lrelu", lr_multiplier=cfg.lr_multiplier)
+    return x
+
+
+def w_avg_ema(params, cfg: MappingConfig, w_pre_broadcast: jax.Array) -> jax.Array:
+    """New w_avg buffer after one training step.
+
+    Reference networks_stylegan2.py:251-254:
+    w_avg <- mean(x, 0).lerp(w_avg, beta) = mean + beta * (w_avg - mean)."""
+    mean = jax.lax.stop_gradient(jnp.mean(w_pre_broadcast, axis=0))
+    return mean + cfg.w_avg_beta * (params["w_avg"] - mean)
+
+
+def apply_mapping(params, cfg: MappingConfig, z, c=None,
+                  truncation_psi: float = 1.0,
+                  truncation_cutoff: Optional[int] = None) -> jax.Array:
+    x = mapping_pre_broadcast(params, cfg, z, c)
     x = jnp.broadcast_to(x[:, None, :], (x.shape[0], cfg.num_ws, cfg.w_dim))
     if truncation_psi != 1:
         w_avg = params["w_avg"]

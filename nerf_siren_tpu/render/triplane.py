@@ -40,6 +40,7 @@ from nerf_siren_tpu.models.stylegan2 import (
     apply_synthesis_network,
     init_fc,
     init_generator,
+    mapping_pre_broadcast,
 )
 from nerf_siren_tpu.ops.grid_sample import grid_sample_2d
 from nerf_siren_tpu.ops.sample_pdf import sample_pdf
@@ -336,6 +337,16 @@ def triplane_mapping(params, cfg: TriPlaneConfig, z, c=None,
         c = c * cfg.c_scale
     return apply_mapping(params["backbone"]["mapping"], cfg.backbone.mapping,
                          z, c, truncation_psi=truncation_psi)
+
+
+def triplane_mapping_pre_broadcast(params, cfg: TriPlaneConfig, z, c=None):
+    """Mapping output before ws broadcast (N, w_dim) — for the w_avg EMA."""
+    if c is not None and cfg.c_gen_conditioning_zero:
+        c = jnp.zeros_like(c)
+    if c is not None:
+        c = c * cfg.c_scale
+    return mapping_pre_broadcast(params["backbone"]["mapping"],
+                                 cfg.backbone.mapping, z, c)
 
 
 def triplane_planes(params, cfg: TriPlaneConfig, ws, noise_mode="const", rng=None):

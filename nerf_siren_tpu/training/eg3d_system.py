@@ -18,10 +18,12 @@ from jax.sharding import Mesh
 
 from nerf_siren_tpu.config import RenderConfig, TrainConfig
 from nerf_siren_tpu.parallel.mesh import make_mesh, replicate, shard_rays
+from nerf_siren_tpu.models.stylegan2 import w_avg_ema
 from nerf_siren_tpu.render.triplane import (
     TriPlaneConfig,
     eg3d_render,
     init_eg3d_renderer,
+    triplane_mapping_pre_broadcast,
 )
 from nerf_siren_tpu.training.losses import mse_loss
 from nerf_siren_tpu.training.metrics import psnr
@@ -77,6 +79,16 @@ class EG3DSystem:
             grads, out = jax.grad(compute_loss, has_aux=True)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+
+            # w_avg EMA update (reference networks_stylegan2.py:251-254):
+            # truncation at eval time reads this buffer; without the update it
+            # stays the zero init and truncation_psi<1 silently truncates
+            # toward the origin. Computed from this step's mapping output.
+            renderer = state.params["eg3d_renderer"]
+            w_pre = triplane_mapping_pre_broadcast(renderer, cfg, renderer["z"])
+            mapping_params = params["eg3d_renderer"]["backbone"]["mapping"]
+            mapping_params["w_avg"] = w_avg_ema(
+                mapping_params, cfg.backbone.mapping, w_pre)
             metrics = {
                 "train/loss": jnp.mean((out["rgb_fine"] - rgbs) ** 2)
                 + jnp.mean((out["rgb_coarse"] - rgbs) ** 2),

@@ -184,3 +184,59 @@ def test_eg3d_system_trains(rng):
 
     out = system.render(state.params, rays[:32], chunk=16)
     assert out["rgb_fine"].shape == (32, 3)
+
+
+def test_w_avg_ema_updates_during_training(rng):
+    """w_avg must track the EMA of the mapping output during training
+    (reference networks_stylegan2.py:251-254) so truncation_psi<1 works on a
+    trained model instead of reading the zero init."""
+    from nerf_siren_tpu.config import RenderConfig, TrainConfig
+    from nerf_siren_tpu.render.triplane import triplane_mapping_pre_broadcast
+    from nerf_siren_tpu.training.eg3d_system import EG3DSystem
+
+    system = EG3DSystem(RenderConfig(), TrainConfig(lr=1e-3, decay_step=(100,)),
+                        steps_per_epoch=4, triplane_cfg=TINY)
+    n = 16
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = -2.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d, np.full((n, 1), 0.5, np.float32),
+                           np.full((n, 1), 4.0, np.float32)], -1)
+    rgbs = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    batch = {"rays": rays, "rgbs": rgbs}
+
+    state = system.init_state(jax.random.PRNGKey(0))
+    beta = TINY.backbone.mapping.w_avg_beta
+
+    # oracle: replay the reference EMA recurrence with the pre-update params
+    # of every step (the reference updates w_avg during the forward pass)
+    expected = np.zeros(TINY.w_dim, np.float64)
+    for _ in range(3):
+        renderer = state.params["eg3d_renderer"]
+        w_pre = np.asarray(triplane_mapping_pre_broadcast(
+            renderer, TINY, renderer["z"]), np.float64)
+        mean = w_pre.mean(axis=0)
+        expected = mean + beta * (expected - mean)
+        state, _ = system.train_step(state, batch, jax.random.PRNGKey(1))
+
+    got = np.asarray(
+        state.params["eg3d_renderer"]["backbone"]["mapping"]["w_avg"])
+    assert not np.allclose(got, 0.0), "w_avg never written during training"
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    # truncation now changes the render on the trained model
+    full = system.render(state.params, rays[:8], chunk=8)["rgb_fine"]
+    ws_t = jnp.asarray(triplane_mapping_pre_broadcast(
+        state.params["eg3d_renderer"], TINY,
+        state.params["eg3d_renderer"]["z"]))
+    from nerf_siren_tpu.render.triplane import triplane_mapping, triplane_synthesis
+    ws_trunc = triplane_mapping(state.params["eg3d_renderer"], TINY,
+                                state.params["eg3d_renderer"]["z"],
+                                truncation_psi=0.2)
+    out_t = triplane_synthesis(state.params["eg3d_renderer"], TINY, ws_trunc,
+                               jnp.asarray(rays[None, :8, 0:3]),
+                               jnp.asarray(rays[None, :8, 3:6]))
+    assert not np.allclose(np.asarray(out_t["rgb_fine"][0]),
+                           np.asarray(full), atol=1e-5)
