@@ -27,7 +27,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # all come out n× too large (minimal repro in tests/test_shard_train.py's
 # history). The experimental API with check_rep=False trusts the explicit
 # collectives and is numerically correct.
-from jax.experimental.shard_map import shard_map  # noqa: E402
+#
+# Version-proofing: when a jax upgrade removes the experimental module, fall
+# back to the public `jax.shard_map` with vma checking disabled (check_vma is
+# the new name for check_rep). Whether the fallback is numerically correct on
+# that jax version is verified by the canary —
+# tests/test_shard_train.py::test_shard_map_step_matches_auto_partitioned
+# asserts this step's params match the auto-partitioned path bit-for-bit, so
+# a jax bump that reintroduces the extra-psum bug fails the suite loudly
+# instead of silently training with n×-scaled gradients.
+try:
+    from jax.experimental.shard_map import shard_map as _shard_map_experimental
+
+    def _shard_map(f, *, mesh, in_specs, out_specs):
+        return _shard_map_experimental(f, mesh=mesh, in_specs=in_specs,
+                                       out_specs=out_specs, check_rep=False)
+except ImportError:  # jax >= the experimental API's removal
+    def _shard_map(f, *, mesh, in_specs, out_specs):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
 
 from nerf_siren_tpu.config import NeRFConfig, RenderConfig
 from nerf_siren_tpu.render.rendering import render_rays
@@ -68,11 +86,10 @@ def make_shard_map_train_step(
         loss = jax.lax.psum(loss, axis) / n_shards
         return grads, loss
 
-    sharded = shard_map(
+    sharded = _shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
     )
 
     @jax.jit
