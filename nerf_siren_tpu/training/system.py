@@ -162,8 +162,6 @@ class NeRFSystem:
                                            nerf_cfg=self.nerf_cfg,
                                            field_fn=field_fn_for(rays))
             self._render_fn = render_fn
-        n = rays.shape[0]
-        pad = -n % self.render_cfg.chunk if n > self.render_cfg.chunk else 0
         out = self._render_fn(params, jnp.asarray(rays), cfg)
         return {k: np.asarray(v) for k, v in out.items()}
 
