@@ -50,7 +50,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_rays(batch, mesh: Mesh, axis: str = "data"):
     """Place a host array (or pytree of arrays sharing a leading ray dim) so
-    rows are split across devices. Leading dim must divide by mesh size."""
+    rows are split across devices. Leading dim must divide by mesh size.
+
+    Multi-process: each host passes its LOCAL rows; they become that host's
+    addressable shards of the global batch (parallel.multihost.global_batch).
+    """
+    if jax.process_count() > 1:
+        from nerf_siren_tpu.parallel.multihost import global_batch
+
+        return global_batch(batch, mesh, axis)
     sharding = data_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 

@@ -170,16 +170,24 @@ class NeRFSystem:
 
 
 def epoch_iterator(all_rays: np.ndarray, all_rgbs: np.ndarray, batch_size: int,
-                   seed: int, epoch: int, extras: Optional[Dict[str, np.ndarray]] = None):
+                   seed: int, epoch: int, extras: Optional[Dict[str, np.ndarray]] = None,
+                   shard_index: int = 0, num_shards: int = 1):
     """Host-side shuffled batch iterator over the precomputed ray buffer —
     replaces the torch DataLoader (reference: system.py:237-247). Drops the
-    ragged tail so every step has static shapes."""
+    ragged tail so every step has static shapes.
+
+    Multi-host: `shard_index`/`num_shards` give each process a disjoint
+    interleaved slice (the DistributedSampler role); every host draws
+    batch_size/num_shards LOCAL rows per step, deterministically aligned so
+    all hosts yield the same number of batches per epoch."""
     n = all_rays.shape[0]
-    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
-    perm = rng.permutation(n)
-    n_batches = n // batch_size
+    local = np.arange(shard_index, n, num_shards)
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch, shard_index]))
+    perm = rng.permutation(local)
+    local_bs = batch_size // num_shards
+    n_batches = (n // num_shards) // local_bs
     for b in range(n_batches):
-        idx = perm[b * batch_size:(b + 1) * batch_size]
+        idx = perm[b * local_bs:(b + 1) * local_bs]
         batch = {"rays": all_rays[idx], "rgbs": all_rgbs[idx]}
         if extras:
             for k, v in extras.items():

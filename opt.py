@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--num_epochs', type=int, default=16)
     parser.add_argument('--num_chips', '--num_gpus', dest='num_chips', type=int, default=0,
                         help='number of TPU chips for the data mesh (0 = all)')
+    parser.add_argument('--multihost', default=False, action='store_true',
+                        help='multi-process training: jax.distributed.initialize() '
+                             'before building the mesh; per-host data shards '
+                             '(the DDP/DistributedSampler role, reference train.py:47-63)')
+    parser.add_argument('--coordinator_address', type=str, default=None,
+                        help='host:port of process 0 (omit on Cloud TPU pods: auto-detected)')
+    parser.add_argument('--num_processes', type=int, default=None)
+    parser.add_argument('--process_id', type=int, default=None)
 
     parser.add_argument('--ckpt_path', type=str, default=None,
                         help='checkpoint to fully resume training from')

@@ -141,6 +141,17 @@ def main(hparams):
     from nerf_siren_tpu.training import checkpoints as ckpt_lib
     from nerf_siren_tpu.training.system import epoch_iterator
 
+    if getattr(hparams, "multihost", False):
+        # DDP-equivalent process-group init (reference train.py:47-63);
+        # must run before any other jax call so every process sees the
+        # global device set.
+        from nerf_siren_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed(hparams.coordinator_address,
+                               hparams.num_processes, hparams.process_id)
+    shard_index, num_shards = jax.process_index(), jax.process_count()
+    primary = shard_index == 0
+
     dataset_cls = dataset_dict[hparams.dataset_name]
     kwargs = dict(root_dir=hparams.root_dir, img_wh=tuple(hparams.img_wh))
     if hparams.dataset_name.startswith("llff"):
@@ -169,11 +180,13 @@ def main(hparams):
         state = state.replace(params=params)
         print(f"warm-started from {hparams.pretrained}")
 
-    try:
-        from tensorboardX import SummaryWriter
-        writer = SummaryWriter(os.path.join("logs", hparams.exp_name))
-    except Exception:
-        writer = None
+    writer = None
+    if primary:
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(os.path.join("logs", hparams.exp_name))
+        except Exception:
+            writer = None
 
     ckpt_dir = os.path.join("ckpts", hparams.exp_name)
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -185,7 +198,8 @@ def main(hparams):
         t0 = time.time()
         metrics: Dict = {}
         for batch in epoch_iterator(train_ds.all_rays, train_ds.all_rgbs,
-                                    hparams.batch_size, hparams.seed, epoch, extras):
+                                    hparams.batch_size, hparams.seed, epoch, extras,
+                                    shard_index=shard_index, num_shards=num_shards):
             state, metrics = system.train_step(state, batch, rng)
         step = int(state.step)
         if writer is not None:
@@ -196,11 +210,17 @@ def main(hparams):
         line = f"epoch {epoch} step {step} " + " ".join(
             f"{k}={float(v):.4f}" for k, v in metrics.items()) + f" ({dt:.1f}s)"
 
-        if (epoch + 1) % hparams.val_every == 0 or epoch == hparams.num_epochs - 1:
-            val_loss, val_psnr = validate(system, state, val_ds, writer, step,
-                                          tuple(hparams.img_wh),
-                                          exp_name=hparams.exp_name)
-            line += f" val/loss={val_loss:.4f} val/psnr={val_psnr:.2f}"
+        if primary and ((epoch + 1) % hparams.val_every == 0
+                        or epoch == hparams.num_epochs - 1):
+            if num_shards == 1:
+                val_loss, val_psnr = validate(system, state, val_ds, writer, step,
+                                              tuple(hparams.img_wh),
+                                              exp_name=hparams.exp_name)
+                line += f" val/loss={val_loss:.4f} val/psnr={val_psnr:.2f}"
+            else:
+                # image validation renders process-local arrays, which cannot
+                # join a jit over the global mesh; rank by train loss instead
+                val_loss = float(metrics.get("train/loss", 0.0))
             path = os.path.join(ckpt_dir, f"epoch={epoch}-step={step}.msgpack")
             ckpt_lib.save_train_state(path, state, epoch + 1)
             saved.append((val_loss, path))
@@ -209,7 +229,8 @@ def main(hparams):
                 if os.path.exists(stale):
                     os.remove(stale)
             saved = saved[: hparams.save_topk]
-        print(line, flush=True)
+        if primary:
+            print(line, flush=True)
 
     if writer is not None:
         writer.close()
