@@ -130,6 +130,7 @@ def render_rays_fast(
     n_freqs_dir: int = 4,
     scene_aabb=None,
     refine_mult: int = 1,
+    select: str = "topk",
 ) -> Dict[str, jax.Array]:
     """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity.
 
@@ -137,7 +138,17 @@ def render_rays_fast(
     analytically tightens each ray's [near, far] to the AABB intersection
     (pure arithmetic, no gathers), concentrating all candidates where the
     scene lives. Rays missing the box keep their original bounds (they
-    composite to background anyway)."""
+    composite to background anyway).
+
+    select: how the n_keep full-model samples are placed.
+      'topk' — keep the n_keep candidates with the highest expected
+        compositing weight (discrete; round-1 behavior).
+      'pdf'  — inverse-CDF sample the proxy's weight distribution
+        (deterministic quantiles), exactly the reference's hierarchical
+        sample_pdf (models/rendering.py:22-67) with the proxy standing in
+        for the coarse network. Samples spread proportionally over ALL
+        visible mass instead of cherry-picking discrete candidates, which
+        measures several dB better at small n_keep."""
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -177,12 +188,29 @@ def render_rays_fast(
                   jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2))
         return jnp.einsum("rks,rs->rk", onehot.astype(z.dtype), z)
 
+    def proxy_weights(z, dz):
+        """Expected compositing weight of every candidate under the proxy."""
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        score = apply_proxy(proxy, xyz, compute_dtype)            # (R, S)
+        sigma_hat = jnp.expm1(jax.nn.relu(score.astype(jnp.float32)))
+        a_hat = 1.0 - jnp.exp(-sigma_hat * dz * dir_norm)
+        tr = jnp.cumprod(1.0 - a_hat + 1e-10, axis=-1)
+        tr = jnp.concatenate([jnp.ones_like(tr[:, :1]), tr[:, :-1]], axis=-1)
+        return a_hat * tr
+
     # coarse uniform candidates → keep the highest expected-weight depths
     t = jnp.linspace(0.0, 1.0, n_candidates)
     z = near * (1 - t) + far * t                                  # (R, S)
     spacing = (far - near) / (n_candidates - 1)                   # (R, 1)
 
-    if refine_mult > 1:
+    if select == "pdf":
+        from nerf_siren_tpu.ops.sample_pdf import sample_pdf
+
+        w_hat = proxy_weights(z, spacing)
+        z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+        z_sel = sample_pdf(z_mid, w_hat[:, 1:-1], n_keep, rng=None, det=True)
+        z_sel = jnp.sort(z_sel, axis=-1)
+    elif refine_mult > 1:
         # hierarchical refinement: split each survivor interval into
         # refine_mult sub-candidates and re-rank by expected weight.
         # NOTE: measured WORSE than single-stage at convergence (28.5 dB →

@@ -1,0 +1,227 @@
+"""Measure the fast-renderer speed/quality frontier on the real TPU chip.
+
+Addresses the round-1 gap: fast-path quality numbers were tuned on one scene
+and quoted from a different experiment than the one being timed. Here every
+row of the output table times AND scores the SAME 800x800 rendered frame:
+
+1. build a 3-sphere occlusion scene (analytic ground truth, white back),
+2. train the full reference NeRF recipe on it (8x256 coarse+fine) on-chip,
+3. distill the density proxy + estimate the scene AABB,
+4. render one held-out 800^2 pose with the exact parity renderer and with
+   every (select, n_candidates, n_keep) fast config,
+5. report rays/s (median of 3 frames, scalar-fetch synced) and agreement
+   (PSNR of fast vs exact frame) plus PSNR vs the analytic GT for both.
+
+Writes docs/fast_frontier.json and prints a markdown table for BASELINE.md.
+
+Run: python tools/fast_frontier.py [--steps 2500]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SPHERES = [  # center, radius, color — staggered depths force occlusion
+    (np.array([0.0, 0.0, 0.0]), 0.9, np.array([0.9, 0.25, 0.2])),
+    (np.array([0.8, 0.55, 0.35]), 0.45, np.array([0.2, 0.7, 0.3])),
+    (np.array([-0.7, -0.5, -0.4]), 0.55, np.array([0.25, 0.35, 0.9])),
+]
+LIGHT = np.array([0.5, -0.3, 0.8]) / np.linalg.norm([0.5, -0.3, 0.8])
+
+
+def trace_gt(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
+    """Analytic render: nearest sphere hit, Lambert-shaded, white back."""
+    n = rays_o.shape[0]
+    best_t = np.full(n, np.inf, np.float32)
+    rgb = np.ones((n, 3), np.float32)
+    d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    for c, r, col in SPHERES:
+        oc = rays_o - c
+        b = np.sum(oc * d, -1)
+        disc = b * b - (np.sum(oc * oc, -1) - r * r)
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        ok = hit & (t > 0) & (t < best_t)
+        normal = (rays_o[ok] + t[ok, None] * d[ok] - c) / r
+        shade = 0.65 + 0.35 * np.clip(normal @ LIGHT, 0, 1)
+        rgb[ok] = col * shade[:, None]
+        best_t[ok] = t[ok]
+    return rgb
+
+
+def look_at(eye):
+    eye = np.asarray(eye, np.float32)
+    fwd = -eye / np.linalg.norm(eye)
+    right = np.cross(fwd, np.array([0.0, 0.0, 1.0], np.float32))
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    return np.stack([right, up, -fwd], 1)
+
+
+def make_rays(c2w_rot, eye, h, w, focal):
+    i, j = np.meshgrid(np.arange(w), np.arange(h))
+    dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal,
+                     -np.ones_like(i)], -1).astype(np.float32)
+    d = dirs.reshape(-1, 3) @ c2w_rot.T
+    o = np.broadcast_to(eye.astype(np.float32), d.shape).copy()
+    near = np.full((d.shape[0], 1), 2.0, np.float32)
+    far = np.full((d.shape[0], 1), 6.0, np.float32)
+    return np.concatenate([o, d.astype(np.float32), near, far], -1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--train_hw", type=int, default=160)
+    ap.add_argument("--out", type=str, default="docs/fast_frontier.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
+    from nerf_siren_tpu.models.embedding import positional_encoding
+    from nerf_siren_tpu.models.nerf import apply_nerf
+    from nerf_siren_tpu.render.fast import (
+        distill_proxy, estimate_scene_aabb, render_rays_fast)
+    from nerf_siren_tpu.render.rendering import render_rays
+    from nerf_siren_tpu.training.system import NeRFSystem
+
+    # ---- train the scene (reference recipe shapes: 8x256, 64+64) ----------
+    hw = args.train_hw
+    focal = 0.5 * 800 / np.tan(0.5 * 0.6911112) * hw / 800
+    views = []
+    for k in range(12):
+        phi = 2 * np.pi * k / 12
+        eye = 4.0 * np.array([np.cos(phi) * np.cos(0.4), np.sin(phi) * np.cos(0.4),
+                              np.sin(0.4)])
+        rot = look_at(eye)
+        rays = make_rays(rot, eye, hw, hw, focal)
+        views.append((rays, trace_gt(rays[:, 0:3], rays[:, 3:6])))
+    all_rays = np.concatenate([v[0] for v in views])
+    all_rgbs = np.concatenate([v[1] for v in views])
+
+    nerf_cfg = NeRFConfig()  # the real 8x256 model
+    system = NeRFSystem(
+        RenderConfig(n_samples=64, n_importance=64, perturb=1.0, noise_std=0.0,
+                     white_back=True),
+        TrainConfig(lr=5e-4, batch_size=4096, decay_step=(100,), num_epochs=1),
+        nerf_cfg, steps_per_epoch=args.steps)
+    state = system.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for step in range(args.steps):
+        idx = rng.integers(0, len(all_rays), 4096)
+        state, m = system.train_step(
+            state, {"rays": all_rays[idx], "rgbs": all_rgbs[idx]},
+            jax.random.PRNGKey(1))
+    train_psnr = float(m["train/psnr"])
+    print(f"trained {args.steps} steps in {time.time()-t0:.0f}s, "
+          f"train psnr {train_psnr:.2f} dB", flush=True)
+    params = jax.device_get(state.params)
+
+    # ---- proxy + AABB ------------------------------------------------------
+    def sigma_fn(pts):
+        emb = positional_encoding(pts, 10)
+        return apply_nerf(params["fine"], emb, None, cfg=nerf_cfg)[:, 0]
+
+    proxy = distill_proxy(sigma_fn, [-2.2, -2.2, -2.2], [2.2, 2.2, 2.2],
+                          jax.random.PRNGKey(5))
+    aabb = estimate_scene_aabb(sigma_fn, [-2.2] * 3, [2.2] * 3)
+    print(f"aabb: {np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}", flush=True)
+
+    # ---- held-out 800^2 frame ---------------------------------------------
+    H = W = 800
+    focal800 = 0.5 * 800 / np.tan(0.5 * 0.6911112)
+    eye = 4.0 * np.array([np.cos(1.1) * np.cos(-0.25), np.sin(1.1) * np.cos(-0.25),
+                          np.sin(-0.25)])
+    rays800 = make_rays(look_at(eye), eye, H, W, focal800)
+    gt800 = trace_gt(rays800[:, 0:3], rays800[:, 3:6])
+    chunk = 40_000
+    tiles = jnp.asarray(rays800.reshape(-1, chunk, 8))
+
+    def psnr(a, b):
+        return float(-10 * np.log10(np.mean((a - b) ** 2) + 1e-12))
+
+    def time_frames(frame_fn, arg):
+        rgb, chk = frame_fn(arg)
+        float(chk)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rgb, chk = frame_fn(arg)
+            float(chk)
+            times.append(time.perf_counter() - t0)
+        return np.asarray(rgb).reshape(-1, 3), float(np.median(times))
+
+    exact_cfg = RenderConfig(n_samples=64, n_importance=64, perturb=0.0,
+                             noise_std=0.0, white_back=True, test_time=True)
+
+    @jax.jit
+    def exact_frame(tiles):
+        def f(t):
+            return render_rays(params, t, exact_cfg, None, nerf_cfg=nerf_cfg,
+                               compute_dtype=jnp.bfloat16)["rgb_fine"]
+        rgb = jax.lax.map(f, tiles)
+        return rgb, jnp.sum(rgb)
+
+    exact_rgb, exact_t = time_frames(exact_frame, tiles)
+    exact_rate = H * W / exact_t
+    print(f"exact: {exact_rate/1e6:.3f} M rays/s, {psnr(exact_rgb, gt800):.2f} dB vs GT",
+          flush=True)
+
+    results = {"train_psnr": train_psnr,
+               "exact": {"rays_per_sec": exact_rate,
+                         "psnr_vs_gt": psnr(exact_rgb, gt800)},
+               "configs": []}
+
+    sweep = [(sel, c, k)
+             for sel in ("pdf", "topk")
+             for (c, k) in ((32, 8), (32, 16), (48, 12), (64, 8), (64, 16),
+                            (64, 32), (96, 24))]
+    for sel, c, k in sweep:
+        @jax.jit
+        def fast_frame(tiles, sel=sel, c=c, k=k):
+            def f(t):
+                return render_rays_fast(
+                    params, proxy, t, n_candidates=c, n_keep=k,
+                    nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
+                    select=sel)["rgb_fine"]
+            rgb = jax.lax.map(f, tiles)
+            return rgb, jnp.sum(rgb)
+
+        rgb, t = time_frames(fast_frame, tiles)
+        rate = H * W / t
+        row = {"select": sel, "n_candidates": c, "n_keep": k,
+               "rays_per_sec": rate,
+               "agreement_db_vs_exact": psnr(rgb, exact_rgb),
+               "psnr_vs_gt": psnr(rgb, gt800)}
+        results["configs"].append(row)
+        print(f"{sel:5s} C={c:3d} K={k:3d}: {rate/1e6:6.2f} M rays/s  "
+              f"agree {row['agreement_db_vs_exact']:6.2f} dB  "
+              f"gt {row['psnr_vs_gt']:6.2f} dB", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+    print("\n| select | C | K | M rays/s | agree dB | PSNR vs GT |")
+    print("|---|---|---|---|---|---|")
+    print(f"| exact | 64 | +64 | {exact_rate/1e6:.2f} | — | "
+          f"{results['exact']['psnr_vs_gt']:.2f} |")
+    for r in results["configs"]:
+        print(f"| {r['select']} | {r['n_candidates']} | {r['n_keep']} | "
+              f"{r['rays_per_sec']/1e6:.2f} | {r['agreement_db_vs_exact']:.2f} | "
+              f"{r['psnr_vs_gt']:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
