@@ -21,6 +21,8 @@ import numpy as np
 def main():
     from nerf_siren_tpu.config import NeRFConfig, RenderConfig
     from nerf_siren_tpu.models.nerf import init_nerf
+    from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
+    from nerf_siren_tpu.render.fused import render_rays_fused
     from nerf_siren_tpu.render.rendering import render_rays
 
     render_cfg = RenderConfig(
@@ -49,32 +51,48 @@ def main():
          np.full((n_rays_frame, 1), 6.0, np.float32)], axis=-1)
 
     tiles = jnp.asarray(rays_np.reshape(n_rays_frame // chunk, chunk, 8))
+    packed = pack_model_params(params, nerf_cfg)
 
+    # headline: exact coarse+fine math through the fused transposed Pallas
+    # field kernel (ops/pallas/fused_mlp.py + render/fused.py) — same output
+    # as the jnp path (parity asserted in tests/test_fused_mlp.py)
     @jax.jit
-    def render_frame(params, tiles):
+    def render_frame(packed, tiles):
         def tile_fn(t):
-            out = render_rays(params, t, render_cfg, None,
-                              nerf_cfg=nerf_cfg, compute_dtype=compute_dtype)
+            out = render_rays_fused(packed, t, render_cfg, nerf_cfg=nerf_cfg)
             return out["rgb_fine"], out["depth_fine"]
         rgb, depth = jax.lax.map(tile_fn, tiles)
         # scalar checksum: on tunneled platforms block_until_ready is
         # unreliable — a host fetch of this scalar is the sync point
         return rgb, depth, jnp.sum(rgb)
 
-    # warmup / compile (fetch forces completion)
-    rgb, depth, chk = render_frame(params, tiles)
-    float(chk)
+    @jax.jit
+    def render_frame_jnp(params, tiles):
+        def tile_fn(t):
+            out = render_rays(params, t, render_cfg, None,
+                              nerf_cfg=nerf_cfg, compute_dtype=compute_dtype)
+            return out["rgb_fine"], out["depth_fine"]
+        rgb, depth = jax.lax.map(tile_fn, tiles)
+        return rgb, depth, jnp.sum(rgb)
 
     n_iters = 5
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        rgb, depth, chk = render_frame(params, tiles)
-    float(chk)
-    dt = time.perf_counter() - t0
+
+    def time_frames(fn, p):
+        rgb, depth, chk = fn(p, tiles)  # warmup / compile (fetch syncs)
+        float(chk)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            rgb, depth, chk = fn(p, tiles)
+        float(chk)
+        return time.perf_counter() - t0
+
+    dt = time_frames(render_frame, packed)
+    dt_jnp = time_frames(render_frame_jnp, params)
 
     rays_per_sec = n_rays_frame * n_iters / dt
     n_chips = max(1, len(jax.devices()))
     value = rays_per_sec / n_chips
+    jnp_rays_per_sec = n_rays_frame * n_iters / dt_jnp / n_chips
 
     # secondary: the proxy-culled fast path (render/fast.py) — same scene
     # shapes, quality validated against the exact renderer in
@@ -141,6 +159,7 @@ def main():
                               "keep16 (~28.5dB agreement with the exact "
                               "render on a converged scene), aggressive=32/8 "
                               "(~26dB)",
+            "exact_jnp_rays_per_sec": round(jnp_rays_per_sec, 1),
             "p50_full_frame_latency_s": round(dt / n_iters, 4),
             "fast_p50_frame_latency_conservative_s": round(fast_hi_q_lat, 4),
             "fast_p50_frame_latency_aggressive_s": round(fast_fast_lat, 4),

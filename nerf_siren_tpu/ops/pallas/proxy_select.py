@@ -30,7 +30,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nerf_siren_tpu.ops.pallas.fused_mlp import _embed_perm, _pad_rows
+from nerf_siren_tpu.ops.pallas.fused_mlp import _embed_perm
+
+
+def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
 
 TILE_R = 64
 PROXY_FREQS = 5          # must match render.fast.PROXY_FREQS

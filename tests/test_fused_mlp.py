@@ -77,3 +77,31 @@ def test_render_rays_with_fused_field(setup):
     for k in ref_out:
         np.testing.assert_allclose(np.asarray(got_out[k]), np.asarray(ref_out[k]),
                                    atol=5e-3, rtol=2e-2, err_msg=k)
+
+
+def test_render_rays_fused_matches_render_rays(setup):
+    """The transposed production renderer must agree with the jnp-bf16
+    render_rays on every output of the test_time contract."""
+    cfg, params, packed = setup
+    from nerf_siren_tpu.render.fused import render_rays_fused
+    from nerf_siren_tpu.render.rendering import render_rays
+
+    rng = np.random.default_rng(1)
+    n = 24
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    rays = jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), 2, np.float32), np.full((n, 1), 6, np.float32)], -1))
+
+    render_cfg = RenderConfig(n_samples=8, n_importance=8, noise_std=0.0,
+                              perturb=0.0, white_back=True, test_time=True)
+    models = {"coarse": params, "fine": init_nerf(jax.random.PRNGKey(7), cfg)}
+    ref_out = render_rays(models, rays, render_cfg, None,
+                          nerf_cfg=cfg, compute_dtype=jnp.bfloat16)
+    got_out = render_rays_fused(fused_mlp.pack_model_params(models, cfg),
+                                rays, render_cfg, nerf_cfg=cfg)
+    assert set(got_out) == {"opacity_coarse", "rgb_fine", "depth_fine",
+                            "opacity_fine"}
+    for k in got_out:
+        np.testing.assert_allclose(np.asarray(got_out[k]), np.asarray(ref_out[k]),
+                                   atol=5e-3, rtol=2e-2, err_msg=k)
