@@ -110,7 +110,8 @@ def main():
                 out = render_rays_fast(params, proxy, t,
                                        n_candidates=n_candidates, n_keep=n_keep,
                                        nerf_cfg=nerf_cfg, white_back=True,
-                                       scene_aabb=aabb)
+                                       scene_aabb=aabb, select="pdf",
+                                       packed_params=packed)
                 return out["rgb_fine"]
             return jnp.sum(jax.lax.map(tile_fn, tiles))
 
@@ -146,6 +147,90 @@ def main():
     float(m["train/loss"])
     train_step_s = (time.perf_counter() - t0) / 20
 
+    # ---- BASELINE.md config 3: LLFF fern 504x378, NDC rays ---------------
+    n_fern = 504 * 378
+    d3 = rng.normal(size=(n_fern, 3)).astype(np.float32)
+    d3[:, 2] = -np.abs(d3[:, 2]) - 0.5           # forward-facing
+    fern_np = np.concatenate(
+        [np.zeros((n_fern, 3), np.float32), d3,
+         np.zeros((n_fern, 1), np.float32),      # NDC near=0
+         np.ones((n_fern, 1), np.float32)], -1)  # NDC far=1
+    fern_tiles = jnp.asarray(
+        np.pad(fern_np, ((0, -n_fern % chunk), (0, 0))).reshape(-1, chunk, 8))
+
+    @jax.jit
+    def fern_frame(packed, tiles):
+        rgb = jax.lax.map(
+            lambda t: render_rays_fused(packed, t, render_cfg,
+                                        nerf_cfg=nerf_cfg)["rgb_fine"], tiles)
+        return jnp.sum(rgb)
+
+    float(fern_frame(packed, fern_tiles))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        chk = fern_frame(packed, fern_tiles)
+    float(chk)
+    fern_rays_per_sec = fern_tiles.shape[0] * chunk * n_iters / (
+        time.perf_counter() - t0) / n_chips
+
+    # ---- BASELINE.md config 4: SIREN field + semantic (pointnet) steps ----
+    siren_system = NeRFSystem(
+        RenderConfig(n_samples=64, n_importance=128, perturb=1.0,
+                     noise_std=1.0, white_back=True),
+        TrainConfig(lr=5e-4, batch_size=1024, decay_step=(2, 4, 8)),
+        nerf_cfg, steps_per_epoch=1000, field_type="siren")
+    s_state = siren_system.init_state(jax.random.PRNGKey(5))
+    s_state, m = siren_system.train_step(s_state, batch, key)
+    float(m["train/loss"])
+    t0 = time.perf_counter()
+    for _ in range(20):
+        s_state, m = siren_system.train_step(s_state, batch, key)
+    float(m["train/loss"])
+    siren_step_s = (time.perf_counter() - t0) / 20
+
+    from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
+    sem_system = NeRF3DSystem(
+        RenderConfig(n_samples=64, n_importance=0, perturb=1.0, noise_std=1.0),
+        TrainConfig(lr=5e-4, batch_size=4096, decay_step=(2,),
+                    loss_type="msenll"),
+        nerf_cfg, steps_per_epoch=1000,
+        semantic_network="pointnet", n_classes=6, point_capacity=8192)
+    sem_state = sem_system.init_state(jax.random.PRNGKey(6))
+    sem_batch = {"rays": rays_np[:4096],
+                 "rgbs": rng.uniform(0, 1, (4096, 3)).astype(np.float32),
+                 "cls": rng.integers(0, 6, 4096)}
+    sem_state, m = sem_system.train_step(sem_state, sem_batch, key)
+    float(m["train/total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        sem_state, m = sem_system.train_step(sem_state, sem_batch, key)
+    float(m["train/total_loss"])
+    sem_step_s = (time.perf_counter() - t0) / 10
+
+    # ---- BASELINE.md config 5: EG3D triplane renderer (reference 256^2) ---
+    from nerf_siren_tpu.training.eg3d_system import EG3DSystem
+
+    eg3d_system = EG3DSystem(
+        RenderConfig(), TrainConfig(lr=2e-3, batch_size=1024, decay_step=(8,)),
+        steps_per_epoch=1000)
+    e_state = eg3d_system.init_state(jax.random.PRNGKey(7))
+    e_batch = {"rays": rays_np[:1024],
+               "rgbs": rng.uniform(0, 1, (1024, 3)).astype(np.float32)}
+    e_state, m = eg3d_system.train_step(e_state, e_batch, key)
+    float(m["train/loss"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        e_state, m = eg3d_system.train_step(e_state, e_batch, key)
+    float(m["train/loss"])
+    eg3d_step_s = (time.perf_counter() - t0) / 10
+
+    eg3d_params = jax.device_get(e_state.params)
+    out = eg3d_system.render(eg3d_params, rays_np[:65536])
+    t0 = time.perf_counter()
+    out = eg3d_system.render(eg3d_params, rays_np[:65536])
+    float(np.sum(out["rgb_fine"][:8]))
+    eg3d_rays_per_sec = 65536 / (time.perf_counter() - t0) / n_chips
+
     print(json.dumps({
         "metric": "rays_per_sec_per_chip_lego800_coarse_fine",
         "value": round(value, 1),
@@ -166,6 +251,11 @@ def main():
             "train_step_s_batch1024_64c128f": round(train_step_s, 4),
             "train_step_note": "reference reports 0.12 s/step for the same "
                                "recipe on one RTX 2080 Ti (README.md:138-144)",
+            "cfg3_fern_ndc_rays_per_sec": round(fern_rays_per_sec, 1),
+            "cfg4_siren_train_step_s": round(siren_step_s, 4),
+            "cfg4_semantic_pointnet_step_s_batch4096_cap8192": round(sem_step_s, 4),
+            "cfg5_eg3d_train_step_s_batch1024_256sq_planes": round(eg3d_step_s, 4),
+            "cfg5_eg3d_render_rays_per_sec": round(eg3d_rays_per_sec, 1),
         },
     }))
 

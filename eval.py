@@ -95,6 +95,11 @@ def main(hparams):
             distill_proxy, estimate_scene_aabb, render_rays_fast)
 
         model_key = 'fine' if 'fine' in params else 'coarse'
+        # fused full-model eval needs the reference 8x256 topology
+        fast_packed = None
+        if nerf_cfg.width % 128 == 0 and nerf_cfg.skips == (4,):
+            from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
+            fast_packed = pack_model_params(params, nerf_cfg)
 
         def sigma_fn(pts):
             emb = positional_encoding(pts, 10)
@@ -125,7 +130,7 @@ def main(hparams):
                     n_keep=hparams.fast_keep, nerf_cfg=nerf_cfg,
                     model=model_key, white_back=dataset.white_back,
                     compute_dtype=compute_dtype, scene_aabb=aabb,
-                    select=hparams.fast_select),
+                    select=hparams.fast_select, packed_params=fast_packed),
                 tiles)
             return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
                     for k, v in out.items()}

@@ -131,6 +131,7 @@ def render_rays_fast(
     scene_aabb=None,
     refine_mult: int = 1,
     select: str = "topk",
+    packed_params: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, jax.Array]:
     """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity.
 
@@ -148,7 +149,12 @@ def render_rays_fast(
         sample_pdf (models/rendering.py:22-67) with the proxy standing in
         for the coarse network. Samples spread proportionally over ALL
         visible mass instead of cherry-picking discrete candidates, which
-        measures several dB better at small n_keep."""
+        measures several dB better at small n_keep.
+
+    packed_params: optional pack_model_params(params) — when given, the
+      full-model evaluation at the survivors runs through the transposed
+      fused Pallas kernel (ops/pallas/fused_mlp.py) instead of the jnp MLP,
+      which roughly halves the dominant cost of this renderer."""
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -226,14 +232,38 @@ def render_rays_fast(
         spacing = spacing / refine_mult
     else:
         z_sel = weight_top_k(z, spacing, n_keep)
-    xyz_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
-
     # 4. full model at the survivors
-    dir_emb = positional_encoding(rays_d, n_freqs_dir)
-    dir_b = jnp.broadcast_to(dir_emb[:, None, :], (r, n_keep, dir_emb.shape[-1]))
-    emb = positional_encoding(xyz_sel, n_freqs_xyz)
-    raw = apply_nerf(params[model], emb, dir_b, cfg=nerf_cfg,
-                     compute_dtype=compute_dtype)
+    if packed_params is not None:
+        from nerf_siren_tpu.ops.pallas import fused_mlp
+        from nerf_siren_tpu.ops.pallas.fused_mlp import (
+            IN_ROWS, SIGMA_ROW, fused_full_t)
+
+        oT8 = jnp.pad(rays_o.T, ((0, IN_ROWS - 3), (0, 0)))
+        dT8 = jnp.pad(rays_d.T, ((0, IN_ROWS - 3), (0, 0)))
+        n_pts = r * n_keep
+        xyzT = (oT8[:, :, None] + dT8[:, :, None] * z_sel[None]).reshape(
+            IN_ROWS, n_pts)
+        dirT = jnp.broadcast_to(dT8[:, :, None],
+                                (IN_ROWS, r, n_keep)).reshape(IN_ROWS, n_pts)
+        pad = -n_pts % fused_mlp.TILE_N
+        out8 = fused_full_t(packed_params[model],
+                            jnp.pad(xyzT, ((0, 0), (0, pad))),
+                            jnp.pad(dirT, ((0, 0), (0, pad))),
+                            depth=nerf_cfg.depth, skips=nerf_cfg.skips)
+        out8 = out8[:, :n_pts]
+        sigmas_raw = out8[SIGMA_ROW].reshape(r, n_keep)
+        rgb_t = out8[:3].reshape(3, r, n_keep)          # (3, R, K)
+        rgb_raw = None
+    else:
+        xyz_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
+        dir_emb = positional_encoding(rays_d, n_freqs_dir)
+        dir_b = jnp.broadcast_to(dir_emb[:, None, :],
+                                 (r, n_keep, dir_emb.shape[-1]))
+        emb = positional_encoding(xyz_sel, n_freqs_xyz)
+        raw = apply_nerf(params[model], emb, dir_b, cfg=nerf_cfg,
+                         compute_dtype=compute_dtype)
+        sigmas_raw = raw[..., 3]
+        rgb_raw = raw[..., :3]
 
     # composite with NeRF's nonuniform quadrature: consecutive-difference
     # deltas over the kept (sorted) depths, final delta = one candidate
@@ -242,13 +272,16 @@ def render_rays_fast(
     deltas = jnp.concatenate(
         [z_sel[:, 1:] - z_sel[:, :-1],
          jnp.broadcast_to(spacing, (z_sel.shape[0], 1))], axis=-1) * dir_norm
-    sigmas = jax.nn.relu(raw[..., 3])
+    sigmas = jax.nn.relu(sigmas_raw)
     alphas = 1.0 - jnp.exp(-deltas * sigmas)
     trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
     trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
     weights = alphas * trans
     opacity = jnp.sum(weights, -1)
-    rgb = jnp.sum(weights[..., None] * raw[..., :3], -2)
+    if rgb_raw is not None:
+        rgb = jnp.sum(weights[..., None] * rgb_raw, -2)
+    else:
+        rgb = jnp.sum(weights[None, :, :] * rgb_t, -1).T
     if white_back:
         rgb = rgb + (1.0 - opacity[..., None])
     depth = jnp.sum(weights * z_sel, -1)

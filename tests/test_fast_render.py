@@ -125,3 +125,36 @@ def test_fast_render_with_scene_aabb():
                             scene_aabb=([-1.3, -1.3, -1.3], [1.3, 1.3, 1.3]))
     agreement = float(psnr(fast["rgb_coarse"], exact["rgb_coarse"]))
     assert agreement > 25, f"aabb fast/exact divergence: {agreement:.2f} dB"
+
+
+def test_fast_render_fused_matches_jnp_branch():
+    """packed_params switches only the full-model evaluation backend; with an
+    identical proxy/selection the fused branch must match the jnp branch."""
+    from nerf_siren_tpu.models.nerf import init_nerf
+    from nerf_siren_tpu.ops.pallas import fused_mlp
+
+    old = fused_mlp.TILE_N
+    fused_mlp.TILE_N = 128  # interpreter-mode speed
+    try:
+        cfg = NeRFConfig()  # kernel requires the full 8x256 topology
+        params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+        packed = fused_mlp.pack_model_params(params, cfg)
+        proxy = init_proxy(jax.random.PRNGKey(1))
+
+        rng = np.random.default_rng(0)
+        n = 24
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(np.concatenate(
+            [rng.normal(size=(n, 3)).astype(np.float32) * 0.1, d,
+             np.full((n, 1), 2, np.float32), np.full((n, 1), 6, np.float32)], -1))
+
+        kw = dict(n_candidates=32, n_keep=8, nerf_cfg=cfg, white_back=True,
+                  scene_aabb=([-2] * 3, [2] * 3), select="pdf")
+        ref = render_rays_fast(params, proxy, rays, **kw)
+        got = render_rays_fast(params, proxy, rays, packed_params=packed, **kw)
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                       atol=1e-2, rtol=2e-2, err_msg=k)
+    finally:
+        fused_mlp.TILE_N = old

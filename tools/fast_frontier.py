@@ -89,8 +89,10 @@ def main():
     from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
     from nerf_siren_tpu.models.embedding import positional_encoding
     from nerf_siren_tpu.models.nerf import apply_nerf
+    from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
     from nerf_siren_tpu.render.fast import (
         distill_proxy, estimate_scene_aabb, render_rays_fast)
+    from nerf_siren_tpu.render.fused import render_rays_fused
     from nerf_siren_tpu.render.rendering import render_rays
     from nerf_siren_tpu.training.system import NeRFSystem
 
@@ -110,7 +112,7 @@ def main():
 
     nerf_cfg = NeRFConfig()  # the real 8x256 model
     system = NeRFSystem(
-        RenderConfig(n_samples=64, n_importance=64, perturb=1.0, noise_std=0.0,
+        RenderConfig(n_samples=64, n_importance=64, perturb=1.0, noise_std=1.0,
                      white_back=True),
         TrainConfig(lr=5e-4, batch_size=4096, decay_step=(100,), num_epochs=1),
         nerf_cfg, steps_per_epoch=args.steps)
@@ -163,9 +165,18 @@ def main():
 
     exact_cfg = RenderConfig(n_samples=64, n_importance=64, perturb=0.0,
                              noise_std=0.0, white_back=True, test_time=True)
+    packed = pack_model_params(params, nerf_cfg)
 
     @jax.jit
     def exact_frame(tiles):
+        def f(t):
+            return render_rays_fused(packed, t, exact_cfg,
+                                     nerf_cfg=nerf_cfg)["rgb_fine"]
+        rgb = jax.lax.map(f, tiles)
+        return rgb, jnp.sum(rgb)
+
+    @jax.jit
+    def exact_frame_jnp(tiles):
         def f(t):
             return render_rays(params, t, exact_cfg, None, nerf_cfg=nerf_cfg,
                                compute_dtype=jnp.bfloat16)["rgb_fine"]
@@ -174,18 +185,23 @@ def main():
 
     exact_rgb, exact_t = time_frames(exact_frame, tiles)
     exact_rate = H * W / exact_t
-    print(f"exact: {exact_rate/1e6:.3f} M rays/s, {psnr(exact_rgb, gt800):.2f} dB vs GT",
-          flush=True)
+    jnp_rgb, jnp_t = time_frames(exact_frame_jnp, tiles)
+    print(f"exact (fused): {exact_rate/1e6:.3f} M rays/s, "
+          f"{psnr(exact_rgb, gt800):.2f} dB vs GT, "
+          f"{psnr(exact_rgb, jnp_rgb):.2f} dB vs jnp exact "
+          f"({H*W/jnp_t/1e6:.3f} M rays/s)", flush=True)
 
     results = {"train_psnr": train_psnr,
                "exact": {"rays_per_sec": exact_rate,
-                         "psnr_vs_gt": psnr(exact_rgb, gt800)},
+                         "psnr_vs_gt": psnr(exact_rgb, gt800),
+                         "jnp_rays_per_sec": H * W / jnp_t,
+                         "fused_vs_jnp_db": psnr(exact_rgb, jnp_rgb)},
                "configs": []}
 
     sweep = [(sel, c, k)
              for sel in ("pdf", "topk")
              for (c, k) in ((32, 8), (32, 16), (48, 12), (64, 8), (64, 16),
-                            (64, 32), (96, 24))]
+                            (64, 32), (96, 24), (128, 16), (128, 32))]
     for sel, c, k in sweep:
         @jax.jit
         def fast_frame(tiles, sel=sel, c=c, k=k):
@@ -193,7 +209,7 @@ def main():
                 return render_rays_fast(
                     params, proxy, t, n_candidates=c, n_keep=k,
                     nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
-                    select=sel)["rgb_fine"]
+                    select=sel, packed_params=packed)["rgb_fine"]
             rgb = jax.lax.map(f, tiles)
             return rgb, jnp.sum(rgb)
 
