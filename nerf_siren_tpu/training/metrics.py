@@ -68,3 +68,44 @@ def ssim(image_pred: jax.Array, image_gt: jax.Array,
     if reduction == "mean":
         dssim = jnp.mean(dssim)
     return 1.0 - 2.0 * dssim
+
+
+def confusion_matrix(pred_cls: jax.Array, gt_cls: jax.Array, n_classes: int,
+                     ignore_index: Optional[int] = None) -> jax.Array:
+    """(n_classes, n_classes) counts[gt, pred] over flat int predictions."""
+    pred_cls = pred_cls.reshape(-1)
+    gt_cls = gt_cls.reshape(-1)
+    valid = jnp.ones_like(gt_cls, dtype=bool)
+    if ignore_index is not None:
+        valid = gt_cls != ignore_index
+    idx = jnp.where(valid, gt_cls * n_classes + pred_cls, 0)
+    counts = jnp.zeros(n_classes * n_classes, jnp.int32).at[idx].add(
+        valid.astype(jnp.int32))
+    return counts.reshape(n_classes, n_classes)
+
+
+def miou(pred_cls: jax.Array, gt_cls: jax.Array, n_classes: int,
+         ignore_index: Optional[int] = None):
+    """Mean intersection-over-union + per-class IoU (the semantic-NeRF
+    evaluation metric; the reference reports only pixel accuracy).
+
+    Returns (miou_scalar, per_class_iou (n_classes,)); classes absent from
+    both prediction and ground truth get IoU nan and are excluded from the
+    mean."""
+    cm = confusion_matrix(pred_cls, gt_cls, n_classes, ignore_index)
+    inter = jnp.diag(cm).astype(jnp.float32)
+    union = (cm.sum(0) + cm.sum(1)).astype(jnp.float32) - inter
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), jnp.nan)
+    return jnp.nanmean(iou), iou
+
+
+def class_accuracy(pred_cls: jax.Array, gt_cls: jax.Array, n_classes: int,
+                   ignore_index: Optional[int] = None):
+    """(overall pixel accuracy, per-class recall (n_classes,))."""
+    cm = confusion_matrix(pred_cls, gt_cls, n_classes, ignore_index)
+    total = jnp.maximum(cm.sum(), 1).astype(jnp.float32)
+    overall = jnp.diag(cm).sum().astype(jnp.float32) / total
+    per_class = jnp.where(cm.sum(1) > 0,
+                          jnp.diag(cm) / jnp.maximum(cm.sum(1), 1),
+                          jnp.nan)
+    return overall, per_class

@@ -67,6 +67,7 @@ class NeRFSystem:
         self.siren_layers = siren_layers
         self.siren_z_dim = siren_z_dim
         self._train_step = None
+        self._train_scan = None
         self._render_fn = None
 
     def _field_fn(self, rays=None):
@@ -103,13 +104,12 @@ class NeRFSystem:
 
     # -- steps ----------------------------------------------------------------
 
-    def _make_train_step(self):
+    def _make_pure_step(self):
         render_cfg = self.render_cfg.replace(test_time=False)
         nerf_cfg = self.nerf_cfg
         tx, loss_fn = self.tx, self.loss_fn
         field_fn_for = self._field_fn
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, rays: jax.Array, rgbs: jax.Array,
                        rng: jax.Array, cls_target: Optional[jax.Array] = None):
             step_rng = jax.random.fold_in(rng, state.step)
@@ -132,6 +132,40 @@ class NeRFSystem:
             return new_state, metrics
 
         return train_step
+
+    def _make_train_step(self):
+        return functools.partial(jax.jit, donate_argnums=(0,))(
+            self._make_pure_step())
+
+    def train_scan(self, state: TrainState, pool_rays, pool_rgbs,
+                   rng: jax.Array, n_steps: int,
+                   batch_size: Optional[int] = None):
+        """Run n_steps of training in ONE device program (lax.scan).
+
+        Batches are sampled uniformly from the device-resident ray pool each
+        step. Use when per-dispatch latency matters (remote/tunneled TPU
+        runtimes add O(100 ms) per host->device call, which dwarfs a ~50 ms
+        step); semantics match n_steps calls of train_step modulo the batch
+        sampling RNG. Returns (state, metrics-of-last-step)."""
+        bs = batch_size or self.train_cfg.batch_size
+        if self._train_scan is None:
+            pure = self._make_pure_step()
+
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               static_argnames=("n_steps", "bs"))
+            def scan_fn(state, rays, rgbs, rng, n_steps, bs):
+                def body(st, key):
+                    idx = jax.random.randint(key, (bs,), 0, rays.shape[0])
+                    return pure(st, rays[idx], rgbs[idx],
+                                jax.random.fold_in(key, 1))
+
+                keys = jax.random.split(rng, n_steps)
+                state, ms = jax.lax.scan(body, state, keys)
+                return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+            self._train_scan = scan_fn
+        return self._train_scan(state, jnp.asarray(pool_rays),
+                                jnp.asarray(pool_rgbs), rng, n_steps, bs)
 
     def train_step(self, state: TrainState, batch: Dict[str, np.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:

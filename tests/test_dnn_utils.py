@@ -79,3 +79,40 @@ def test_analyze_parse_labels(tmp_path):
     res = analyze_parse_labels(str(tmp_path))
     counts = list(res.values())[0]
     assert counts == {0: 1, 10: 2, 20: 1}
+
+
+def test_logger_tees_to_file(tmp_path):
+    import sys
+    from nerf_siren_tpu.utils.dnn import Logger
+
+    log = tmp_path / "run.log"
+    with Logger(str(log)):
+        print("hello tee")
+    assert sys.stdout is not None
+    assert "hello tee" in log.read_text()
+    print("after close")  # streams restored, no crash
+
+
+def test_open_url_plain_path_and_cache(tmp_path):
+    from nerf_siren_tpu.utils.dnn import open_url
+
+    p = tmp_path / "weights.bin"
+    p.write_bytes(b"abc")
+    with open_url(str(p)) as f:
+        assert f.read() == b"abc"
+    assert open_url("file://" + str(p), return_filename=True) == str(p)
+
+    # http miss in a zero-egress sandbox raises a clear error
+    import pytest
+    with pytest.raises(IOError):
+        open_url("http://localhost:1/none.bin", cache_dir=str(tmp_path / "c"))
+
+    # pre-seeded cache entry is served without network
+    import hashlib, os
+    cd = tmp_path / "cache"
+    cd.mkdir()
+    url = "https://example.com/model.pkl"
+    md5 = hashlib.md5(url.encode()).hexdigest()
+    (cd / f"{md5}_model.pkl").write_bytes(b"cached")
+    with open_url(url, cache_dir=str(cd)) as f:
+        assert f.read() == b"cached"

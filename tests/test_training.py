@@ -161,3 +161,32 @@ def test_mesh_size_invariance():
                                            jax.random.PRNGKey(1))
         results.append(float(metrics["train/loss"]))
     np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
+
+
+def test_train_scan_matches_train_step_progress():
+    """train_scan runs N steps in one program and reduces the loss like the
+    per-call loop (not bitwise: batch sampling RNG differs by design)."""
+    import jax
+    import jax.numpy as jnp
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.system import NeRFSystem
+
+    rng = np.random.default_rng(0)
+    n = 512
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([np.zeros((n, 3), np.float32), d,
+                           np.full((n, 1), 2, np.float32),
+                           np.full((n, 1), 6, np.float32)], -1)
+    rgbs = (0.5 + 0.5 * np.tanh(d)).astype(np.float32)
+
+    system = NeRFSystem(
+        RenderConfig(n_samples=8, n_importance=0, perturb=1.0, noise_std=1.0),
+        TrainConfig(lr=5e-3, batch_size=128, decay_step=(100,)),
+        NeRFConfig(depth=2, width=128), steps_per_epoch=20)
+    state = system.init_state(jax.random.PRNGKey(0))
+    state, m0 = system.train_scan(state, rays, rgbs, jax.random.PRNGKey(1), 2)
+    loss0 = float(m0["train/loss"])
+    state, m1 = system.train_scan(state, rays, rgbs, jax.random.PRNGKey(2), 30)
+    assert int(state.step) == 32
+    assert float(m1["train/loss"]) < loss0

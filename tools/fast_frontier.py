@@ -78,8 +78,9 @@ def make_rays(c2w_rot, eye, h, w, focal):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--train_hw", type=int, default=160)
+    ap.add_argument("--views", type=int, default=24)
     ap.add_argument("--out", type=str, default="docs/fast_frontier.json")
     args = ap.parse_args()
 
@@ -100,10 +101,11 @@ def main():
     hw = args.train_hw
     focal = 0.5 * 800 / np.tan(0.5 * 0.6911112) * hw / 800
     views = []
-    for k in range(12):
-        phi = 2 * np.pi * k / 12
-        eye = 4.0 * np.array([np.cos(phi) * np.cos(0.4), np.sin(phi) * np.cos(0.4),
-                              np.sin(0.4)])
+    for k in range(args.views):
+        phi = 2 * np.pi * k / args.views
+        elev = 0.15 + 0.5 * (k % 3)       # three elevation rings
+        eye = 4.0 * np.array([np.cos(phi) * np.cos(elev),
+                              np.sin(phi) * np.cos(elev), np.sin(elev)])
         rot = look_at(eye)
         rays = make_rays(rot, eye, hw, hw, focal)
         views.append((rays, trace_gt(rays[:, 0:3], rays[:, 3:6])))
@@ -117,13 +119,19 @@ def main():
         TrainConfig(lr=5e-4, batch_size=4096, decay_step=(100,), num_epochs=1),
         nerf_cfg, steps_per_epoch=args.steps)
     state = system.init_state(jax.random.PRNGKey(0))
-    rng = np.random.default_rng(0)
     t0 = time.time()
-    for step in range(args.steps):
-        idx = rng.integers(0, len(all_rays), 4096)
-        state, m = system.train_step(
-            state, {"rays": all_rays[idx], "rgbs": all_rgbs[idx]},
-            jax.random.PRNGKey(1))
+    chunk_steps = 500  # train_scan: one device program per chunk (the
+    # tunneled runtime adds ~0.15 s latency per dispatch, which would
+    # otherwise triple the wall time of a 20K-step run)
+    done = 0
+    while done < args.steps:
+        n_chunk = min(chunk_steps, args.steps - done)
+        state, m = system.train_scan(state, all_rays, all_rgbs,
+                                     jax.random.PRNGKey(done), n_chunk)
+        done += n_chunk
+        if done % 2500 == 0 or done == args.steps:
+            print(f"  step {done}: train psnr {float(m['train/psnr']):.2f} dB "
+                  f"({(time.time()-t0)/done*1e3:.0f} ms/step)", flush=True)
     train_psnr = float(m["train/psnr"])
     print(f"trained {args.steps} steps in {time.time()-t0:.0f}s, "
           f"train psnr {train_psnr:.2f} dB", flush=True)

@@ -106,13 +106,13 @@ def main():
         TrainConfig(lr=5e-4, batch_size=4096, decay_step=(100,)),
         nerf_cfg, steps_per_epoch=args.steps)
     state = system.init_state(jax.random.PRNGKey(0))
-    rng = np.random.default_rng(0)
     t0 = time.time()
-    for step in range(args.steps):
-        idx = rng.integers(0, len(all_rays), 4096)
-        state, m = system.train_step(
-            state, {"rays": all_rays[idx], "rgbs": all_rgbs[idx]},
-            jax.random.PRNGKey(1))
+    done = 0
+    while done < args.steps:
+        n_chunk = min(500, args.steps - done)
+        state, m = system.train_scan(state, all_rays, all_rgbs,
+                                     jax.random.PRNGKey(done), n_chunk)
+        done += n_chunk
     print(f"trained {args.steps} steps in {time.time()-t0:.0f}s, "
           f"train psnr {float(m['train/psnr']):.2f} dB", flush=True)
 

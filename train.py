@@ -94,7 +94,7 @@ def validate(system, state, val_ds, writer, step: int, img_wh,
     from nerf_siren_tpu.utils.visualization import visualize_depth
 
     w, h = img_wh
-    losses, psnrs, cls_accs = [], [], []
+    losses, psnrs, cls_accs, mious = [], [], [], []
     for i in range(min(len(val_ds), max_images)):
         sample = val_ds[i]
         out = system.render(state.params, sample["rays"])
@@ -110,9 +110,13 @@ def validate(system, state, val_ds, writer, step: int, img_wh,
 
         cls_key = key.replace("rgb", "cls")
         if cls_key in out and "cls" in sample:
+            from nerf_siren_tpu.training.metrics import miou as miou_fn
             pred_cls = np.argmax(out[cls_key], axis=-1)
             gt_cls = np.asarray(sample["cls"]).reshape(-1)
             cls_accs.append(float((pred_cls == gt_cls).mean()))
+            n_cls = out[cls_key].shape[-1]
+            m, _ = miou_fn(jnp.asarray(pred_cls), jnp.asarray(gt_cls), n_cls)
+            mious.append(float(m))
             if i == 0:  # per-epoch class-map dump (reference system.py:365-380)
                 from nerf_siren_tpu.utils.color import color_cls
                 color_cls((np.clip(pred, 0, 1) * 255).astype(np.uint8),
@@ -133,6 +137,8 @@ def validate(system, state, val_ds, writer, step: int, img_wh,
         writer.add_scalar("val/psnr", val_psnr, step)
         if cls_accs:
             writer.add_scalar("val/cls_acc", float(np.mean(cls_accs)), step)
+        if mious:
+            writer.add_scalar("val/miou", float(np.mean(mious)), step)
     return val_loss, val_psnr
 
 
