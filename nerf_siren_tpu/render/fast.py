@@ -57,6 +57,33 @@ def apply_proxy(proxy: Dict[str, Any], xyz: jax.Array,
     return linear(proxy["l2"], h, compute_dtype)[..., 0]
 
 
+def apply_proxy_t(proxy: Dict[str, Any], xyzT: jax.Array,
+                  compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Proxy density score in the transposed lane-major layout.
+
+    xyzT: (rows>=3, N) f32 with coordinates in rows 0-2 → scores (N,).
+    Same math as apply_proxy; every intermediate keeps N in the minor
+    (lane) dimension, so nothing narrow round-trips HBM — the point-major
+    variant's (R,S,3)/(R,S,33) tiles waste 30/32 lanes on TPU."""
+    x = xyzT[:3]
+    k = jnp.exp2(jnp.arange(PROXY_FREQS, dtype=jnp.float32))
+    scaled = (k[:, None, None] * x[None]).reshape(3 * PROXY_FREQS, -1)
+    # reference interleave [x, sin(f0 x), cos(f0 x), sin(f1 x), ...] is a ROW
+    # ORDER here; rebuild it so the l1 kernel applies unpermuted
+    parts = [x]
+    for i in range(PROXY_FREQS):
+        parts.append(jnp.sin(scaled[3 * i: 3 * i + 3]))
+        parts.append(jnp.cos(scaled[3 * i: 3 * i + 3]))
+    emb = jnp.concatenate(parts, axis=0)                       # (33, N)
+    dt = compute_dtype or jnp.float32
+    w1 = proxy["l1"]["kernel"].astype(dt).T                    # (H, 33)
+    h = jax.nn.relu(w1 @ emb.astype(dt)
+                    + proxy["l1"]["bias"].astype(dt)[:, None])
+    w2 = proxy["l2"]["kernel"].astype(dt).T                    # (1, H)
+    score = w2 @ h + proxy["l2"]["bias"].astype(dt)[:, None]
+    return score[0]
+
+
 def distill_proxy(
     sigma_fn: Callable[[jax.Array], jax.Array],
     aabb_min, aabb_max,
@@ -160,6 +187,21 @@ def render_rays_fast(
     dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     r = rays.shape[0]
 
+    oT8 = dT8 = None
+    if packed_params is not None:
+        from nerf_siren_tpu.ops.pallas.fused_mlp import IN_ROWS
+        oT8 = jnp.pad(rays_o.T, ((0, IN_ROWS - 3), (0, 0)))
+        dT8 = jnp.pad(rays_d.T, ((0, IN_ROWS - 3), (0, 0)))
+
+    def proxy_scores(z):
+        """Proxy score at every candidate depth, (R, S)."""
+        if oT8 is not None:  # transposed lane-major path (see apply_proxy_t)
+            xyzT = (oT8[:, :, None] + dT8[:, :, None] * z[None]).reshape(
+                oT8.shape[0], -1)
+            return apply_proxy_t(proxy, xyzT, compute_dtype).reshape(z.shape)
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        return apply_proxy(proxy, xyz, compute_dtype)
+
     if scene_aabb is not None:
         lo = jnp.asarray(scene_aabb[0], jnp.float32)
         hi = jnp.asarray(scene_aabb[1], jnp.float32)
@@ -182,8 +224,7 @@ def render_rays_fast(
         uses a one-hot contraction (minor-axis take_along_axis lowers to slow
         TPU gathers)."""
         s = z.shape[-1]
-        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-        score = apply_proxy(proxy, xyz, compute_dtype)            # (R, S)
+        score = proxy_scores(z)                                   # (R, S)
         sigma_hat = jnp.expm1(jax.nn.relu(score.astype(jnp.float32)))
         a_hat = 1.0 - jnp.exp(-sigma_hat * dz * dir_norm)
         tr = jnp.cumprod(1.0 - a_hat + 1e-10, axis=-1)
@@ -196,8 +237,7 @@ def render_rays_fast(
 
     def proxy_weights(z, dz):
         """Expected compositing weight of every candidate under the proxy."""
-        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-        score = apply_proxy(proxy, xyz, compute_dtype)            # (R, S)
+        score = proxy_scores(z)                                   # (R, S)
         sigma_hat = jnp.expm1(jax.nn.relu(score.astype(jnp.float32)))
         a_hat = 1.0 - jnp.exp(-sigma_hat * dz * dir_norm)
         tr = jnp.cumprod(1.0 - a_hat + 1e-10, axis=-1)
@@ -238,8 +278,6 @@ def render_rays_fast(
         from nerf_siren_tpu.ops.pallas.fused_mlp import (
             IN_ROWS, SIGMA_ROW, fused_full_t)
 
-        oT8 = jnp.pad(rays_o.T, ((0, IN_ROWS - 3), (0, 0)))
-        dT8 = jnp.pad(rays_d.T, ((0, IN_ROWS - 3), (0, 0)))
         n_pts = r * n_keep
         xyzT = (oT8[:, :, None] + dT8[:, :, None] * z_sel[None]).reshape(
             IN_ROWS, n_pts)
