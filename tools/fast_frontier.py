@@ -82,6 +82,11 @@ def main():
     ap.add_argument("--train_hw", type=int, default=160)
     ap.add_argument("--views", type=int, default=24)
     ap.add_argument("--out", type=str, default="docs/fast_frontier.json")
+    ap.add_argument("--scene_ckpt", type=str, default="/tmp/frontier_scene.msgpack",
+                    help="trained field+proxy cache: written after training, "
+                         "reused with --reuse_scene to iterate on the sweep "
+                         "without the ~30 min retrain")
+    ap.add_argument("--reuse_scene", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -113,37 +118,57 @@ def main():
     all_rgbs = np.concatenate([v[1] for v in views])
 
     nerf_cfg = NeRFConfig()  # the real 8x256 model
-    system = NeRFSystem(
-        RenderConfig(n_samples=64, n_importance=64, perturb=1.0, noise_std=1.0,
-                     white_back=True),
-        TrainConfig(lr=5e-4, batch_size=4096, decay_step=(100,), num_epochs=1),
-        nerf_cfg, steps_per_epoch=args.steps)
-    state = system.init_state(jax.random.PRNGKey(0))
-    t0 = time.time()
-    chunk_steps = 500  # train_scan: one device program per chunk (the
-    # tunneled runtime adds ~0.15 s latency per dispatch, which would
-    # otherwise triple the wall time of a 20K-step run)
-    done = 0
-    while done < args.steps:
-        n_chunk = min(chunk_steps, args.steps - done)
-        state, m = system.train_scan(state, all_rays, all_rgbs,
-                                     jax.random.PRNGKey(done), n_chunk)
-        done += n_chunk
-        if done % 2500 == 0 or done == args.steps:
-            print(f"  step {done}: train psnr {float(m['train/psnr']):.2f} dB "
-                  f"({(time.time()-t0)/done*1e3:.0f} ms/step)", flush=True)
-    train_psnr = float(m["train/psnr"])
-    print(f"trained {args.steps} steps in {time.time()-t0:.0f}s, "
-          f"train psnr {train_psnr:.2f} dB", flush=True)
-    params = jax.device_get(state.params)
+    from nerf_siren_tpu.training.checkpoints import (load_checkpoint,
+                                                     save_checkpoint)
 
-    # ---- proxy + AABB ------------------------------------------------------
+    if args.reuse_scene and os.path.exists(args.scene_ckpt):
+        blob = load_checkpoint(args.scene_ckpt)
+        params, proxy = blob["params"], blob["proxy"]
+        train_psnr = float(np.asarray(blob["train_psnr"]))
+        print(f"reusing {args.scene_ckpt} (train psnr {train_psnr:.2f} dB)",
+              flush=True)
+    else:
+        system = NeRFSystem(
+            RenderConfig(n_samples=64, n_importance=64, perturb=1.0, noise_std=1.0,
+                         white_back=True),
+            TrainConfig(lr=5e-4, batch_size=4096, decay_step=(100,), num_epochs=1),
+            nerf_cfg, steps_per_epoch=args.steps)
+        state = system.init_state(jax.random.PRNGKey(0))
+        t0 = time.time()
+        chunk_steps = 500  # train_scan: one device program per chunk (the
+        # tunneled runtime adds ~0.15 s latency per dispatch, which would
+        # otherwise triple the wall time of a 20K-step run)
+        done = 0
+        while done < args.steps:
+            n_chunk = min(chunk_steps, args.steps - done)
+            state, m = system.train_scan(state, all_rays, all_rgbs,
+                                         jax.random.PRNGKey(done), n_chunk)
+            done += n_chunk
+            if done % 2500 == 0 or done == args.steps:
+                print(f"  step {done}: train psnr {float(m['train/psnr']):.2f} dB "
+                      f"({(time.time()-t0)/done*1e3:.0f} ms/step)", flush=True)
+        train_psnr = float(m["train/psnr"])
+        print(f"trained {args.steps} steps in {time.time()-t0:.0f}s, "
+              f"train psnr {train_psnr:.2f} dB", flush=True)
+        params = jax.device_get(state.params)
+
+        def sigma_fn_train(pts):
+            emb = positional_encoding(pts, 10)
+            return apply_nerf(params["fine"], emb, None, cfg=nerf_cfg)[:, 0]
+
+        proxy = jax.device_get(distill_proxy(
+            sigma_fn_train, [-2.2, -2.2, -2.2], [2.2, 2.2, 2.2],
+            jax.random.PRNGKey(5)))
+        save_checkpoint(args.scene_ckpt,
+                        {"params": params, "proxy": proxy,
+                         "train_psnr": np.float32(train_psnr)})
+        print(f"saved scene to {args.scene_ckpt}", flush=True)
+
+    # ---- AABB --------------------------------------------------------------
     def sigma_fn(pts):
         emb = positional_encoding(pts, 10)
         return apply_nerf(params["fine"], emb, None, cfg=nerf_cfg)[:, 0]
 
-    proxy = distill_proxy(sigma_fn, [-2.2, -2.2, -2.2], [2.2, 2.2, 2.2],
-                          jax.random.PRNGKey(5))
     aabb = estimate_scene_aabb(sigma_fn, [-2.2] * 3, [2.2] * 3)
     print(f"aabb: {np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}", flush=True)
 
