@@ -88,10 +88,11 @@ def distill_proxy(
     sigma_fn: Callable[[jax.Array], jax.Array],
     aabb_min, aabb_max,
     rng: jax.Array,
-    steps: int = 400,
+    steps: int = 1000,
     batch: int = 32768,
     lr: float = 5e-3,
-    hidden: int = 48,
+    hidden: int = 96,
+    overpredict_weight: float = 16.0,
 ) -> Dict[str, Any]:
     """Fit the proxy to log1p(relu(sigma)) of the field over the AABB.
 
@@ -101,6 +102,16 @@ def distill_proxy(
     alone underfits the surface: each step re-samples half its batch as
     jittered copies of the currently-densest points (self-importance
     sampling), and the regression is weighted toward occupied targets.
+
+    overpredict_weight > 1 penalizes OVER-prediction extra. For culling,
+    phantom density in empty space is the lethal failure mode: the
+    expected-weight ranking's transmittance gets absorbed by phantoms
+    before the true surface, so top-k keeps miss it entirely (measured:
+    foreground rays rendering at zero opacity on a sharp 33 dB field).
+    Sweep on that field (agreement of the 32-candidate/keep-8 render with
+    the exact render): weight 1 -> 15.1 dB, 4 -> 26.8, 16 -> 28.3, with
+    phantom p99 scores dropping 3.6 -> 1.25; surface recall is preserved
+    because occupied targets keep their (1 + target) weight.
     """
     aabb_min = jnp.asarray(aabb_min, jnp.float32)
     aabb_max = jnp.asarray(aabb_max, jnp.float32)
@@ -130,7 +141,11 @@ def distill_proxy(
 
         def loss_fn(p):
             pred = apply_proxy(p, pts, compute_dtype=None)
-            return jnp.mean(weight * (pred - target) ** 2)
+            err = pred - target
+            if overpredict_weight != 1.0:
+                w_dir = jnp.where(err > 0, overpredict_weight, 1.0)
+                return jnp.mean(weight * w_dir * err ** 2)
+            return jnp.mean(weight * err ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(proxy)
         updates, opt_state = tx.update(grads, opt_state)

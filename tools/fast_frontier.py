@@ -123,10 +123,17 @@ def main():
 
     if args.reuse_scene and os.path.exists(args.scene_ckpt):
         blob = load_checkpoint(args.scene_ckpt)
-        params, proxy = blob["params"], blob["proxy"]
+        params = blob["params"]
         train_psnr = float(np.asarray(blob["train_psnr"]))
-        print(f"reusing {args.scene_ckpt} (train psnr {train_psnr:.2f} dB)",
-              flush=True)
+        print(f"reusing {args.scene_ckpt} (train psnr {train_psnr:.2f} dB); "
+              f"re-distilling proxy with current defaults", flush=True)
+
+        def sigma_fn_reuse(pts):
+            emb = positional_encoding(pts, 10)
+            return apply_nerf(params["fine"], emb, None, cfg=nerf_cfg)[:, 0]
+
+        proxy = distill_proxy(sigma_fn_reuse, [-2.2, -2.2, -2.2],
+                              [2.2, 2.2, 2.2], jax.random.PRNGKey(5))
     else:
         system = NeRFSystem(
             RenderConfig(n_samples=64, n_importance=64, perturb=1.0, noise_std=1.0,
@@ -231,10 +238,11 @@ def main():
                          "fused_vs_jnp_db": psnr(exact_rgb, jnp_rgb)},
                "configs": []}
 
-    sweep = [(sel, c, k)
-             for sel in ("pdf", "topk")
-             for (c, k) in ((32, 8), (32, 16), (48, 12), (64, 8), (64, 16),
-                            (64, 32), (96, 24), (128, 16), (128, 32))]
+    sweep = [("topk", c, k)
+             for (c, k) in ((32, 8), (32, 16), (48, 8), (48, 12), (64, 8),
+                            (64, 12), (64, 16), (64, 32), (96, 12), (96, 16),
+                            (128, 16), (128, 32))]
+    sweep += [("pdf", 32, 16), ("pdf", 64, 16)]  # record: pdf loses to topk
     for sel, c, k in sweep:
         @jax.jit
         def fast_frame(tiles, sel=sel, c=c, k=k):
