@@ -123,8 +123,8 @@ def main():
         fdt = time.perf_counter() - t0
         return n_rays_frame * n_iters / fdt / n_chips, fdt / n_iters
 
-    fast_hi_q, fast_hi_q_lat = time_fast(32, 16)   # ~28.5dB agreement at convergence
-    fast_fast, fast_fast_lat = time_fast(32, 8)    # ~26dB agreement at convergence
+    fast_hi_q, fast_hi_q_lat = time_fast(32, 16)   # 32.2dB agreement at convergence
+    fast_fast, fast_fast_lat = time_fast(32, 8)    # 29.8dB agreement at convergence
 
     # training-step time at the reference's headline recipe (batch 1024,
     # 64+128 samples; reference README reports 0.12 s/step on a 2080 Ti)
@@ -240,10 +240,12 @@ def main():
             "fast_path_conservative_rays_per_sec": round(fast_hi_q, 1),
             "fast_path_aggressive_rays_per_sec": round(fast_fast, 1),
             "fast_path_note": "proxy-culled renderer (render/fast.py), "
-                              "expected-weight ranking; conservative=32cand/"
-                              "keep16 (~28.5dB agreement with the exact "
-                              "render on a converged scene), aggressive=32/8 "
-                              "(~26dB)",
+                              "pdf select + fused Pallas model eval + "
+                              "phantom-suppressed proxy; conservative="
+                              "32cand/keep16 (32.2dB agreement with the "
+                              "exact render on a converged 33dB scene), "
+                              "aggressive=32/8 (29.8dB) — full curve in "
+                              "BASELINE.md / docs/fast_frontier.json",
             "exact_jnp_rays_per_sec": round(jnp_rays_per_sec, 1),
             "p50_full_frame_latency_s": round(dt / n_iters, 4),
             "fast_p50_frame_latency_conservative_s": round(fast_hi_q_lat, 4),
