@@ -214,7 +214,17 @@ def main():
         RenderConfig(), TrainConfig(lr=2e-3, batch_size=1024, decay_step=(8,)),
         steps_per_epoch=1000)
     e_state = eg3d_system.init_state(jax.random.PRNGKey(7))
-    e_batch = {"rays": rays_np[:1024],
+    # camera-like rays (origins on a radius-4 shell, looking inward): the
+    # triplane grid_sample gathers are data-dependent — isotropic random
+    # directions scatter the plane accesses and cost ~200x (11 s/step vs
+    # ~60 ms/step, measured), which no real workload exhibits
+    eg3d_eyes = rng.normal(size=(65536, 3)).astype(np.float32)
+    eg3d_eyes /= np.linalg.norm(eg3d_eyes, axis=-1, keepdims=True)
+    eg3d_eyes *= 4.0
+    eg3d_dirs = rng.normal(size=(65536, 3)).astype(np.float32) * 0.12 - eg3d_eyes / 4.0
+    eg3d_dirs /= np.linalg.norm(eg3d_dirs, axis=-1, keepdims=True)
+    eg3d_rays = np.concatenate([eg3d_eyes, eg3d_dirs], -1)
+    e_batch = {"rays": eg3d_rays[:1024],
                "rgbs": rng.uniform(0, 1, (1024, 3)).astype(np.float32)}
     e_state, m = eg3d_system.train_step(e_state, e_batch, key)
     float(m["train/loss"])
@@ -225,9 +235,9 @@ def main():
     eg3d_step_s = (time.perf_counter() - t0) / 10
 
     eg3d_params = jax.device_get(e_state.params)
-    out = eg3d_system.render(eg3d_params, rays_np[:65536])
+    out = eg3d_system.render(eg3d_params, eg3d_rays)
     t0 = time.perf_counter()
-    out = eg3d_system.render(eg3d_params, rays_np[:65536])
+    out = eg3d_system.render(eg3d_params, eg3d_rays)
     float(np.sum(out["rgb_fine"][:8]))
     eg3d_rays_per_sec = 65536 / (time.perf_counter() - t0) / n_chips
 
