@@ -226,16 +226,20 @@ def main():
     eg3d_rays = np.concatenate([eg3d_eyes, eg3d_dirs], -1)
     e_batch = {"rays": eg3d_rays[:1024],
                "rgbs": rng.uniform(0, 1, (1024, 3)).astype(np.float32)}
-    e_state, m = eg3d_system.train_step(e_state, e_batch, key)
-    float(m["train/loss"])
-    t0 = time.perf_counter()
-    for _ in range(10):
+    # the tunneled runtime re-optimizes this program over its first ~20
+    # executions (5.7 s/step -> 62 ms/step measured); warm past that
+    for _ in range(25):
         e_state, m = eg3d_system.train_step(e_state, e_batch, key)
     float(m["train/loss"])
-    eg3d_step_s = (time.perf_counter() - t0) / 10
+    t0 = time.perf_counter()
+    for _ in range(20):
+        e_state, m = eg3d_system.train_step(e_state, e_batch, key)
+    float(m["train/loss"])
+    eg3d_step_s = (time.perf_counter() - t0) / 20
 
     eg3d_params = jax.device_get(e_state.params)
-    out = eg3d_system.render(eg3d_params, eg3d_rays)
+    for _ in range(4):  # warm the render program past runtime re-optimization
+        out = eg3d_system.render(eg3d_params, eg3d_rays)
     t0 = time.perf_counter()
     out = eg3d_system.render(eg3d_params, eg3d_rays)
     float(np.sum(out["rgb_fine"][:8]))

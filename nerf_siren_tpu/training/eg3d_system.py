@@ -22,8 +22,11 @@ from nerf_siren_tpu.models.stylegan2 import w_avg_ema
 from nerf_siren_tpu.render.triplane import (
     TriPlaneConfig,
     eg3d_render,
+    importance_render,
     init_eg3d_renderer,
+    triplane_mapping,
     triplane_mapping_pre_broadcast,
+    triplane_planes,
 )
 from nerf_siren_tpu.training.losses import mse_loss
 from nerf_siren_tpu.training.metrics import psnr
@@ -113,10 +116,24 @@ class EG3DSystem:
         if self._render_fn is None:
             @jax.jit
             def render_fn(params, tiles):
-                return jax.lax.map(
-                    lambda t: eg3d_render(params["eg3d_renderer"], cfg,
-                                          t[:, 0:3], t[:, 3:6]),
-                    tiles)
+                # synthesize the triplanes ONCE per frame — mapping +
+                # StyleGAN synthesis dominate a per-tile call (reference
+                # runs them per forward too, but its batched_inference
+                # caches nothing; ~10x render speedup here)
+                p = params["eg3d_renderer"]
+                ws = triplane_mapping(p, cfg, p["z"])
+                planes = triplane_planes(p, cfg, ws)
+
+                def tile(t):
+                    (rgb_c, d_c, w_c, rgb_f, d_f, w_f) = importance_render(
+                        planes, p["decoder"], t[None, :, 0:3], t[None, :, 3:6],
+                        cfg.rendering, None)
+                    out = {"rgb_coarse": rgb_c, "depth_coarse": d_c,
+                           "opacity_coarse": w_c, "rgb_fine": rgb_f,
+                           "depth_fine": d_f, "opacity_fine": w_f}
+                    return {k: v[0] for k, v in out.items()}
+
+                return jax.lax.map(tile, tiles)
             self._render_fn = render_fn
         n = rays.shape[0]
         chunk = min(chunk, n)
