@@ -207,15 +207,25 @@ def _dot_f32(w, a):
                                preferred_element_type=jnp.float32)
 
 
-def _trunk_pipelined(refs, x_ref, depth, skips):
-    """Run the xyz trunk over two skewed halves (along lanes) of the tile.
+PIPELINE_PARTS = 2  # lane-split parts of the tile run skewed by one layer
+# (swept on-chip at TILE=4096: P=1 107.8/93.9 Mpts/s sigma/full, P=2
+# 105.0/94.2, P=4 106.6/92.4, P=8 104.5/88.6 — the explicit skew mattered at
+# TILE=2048 (+10%) but is scheduling-neutral at 4096; TILE=8192 is slower at
+# any P and OOMs scoped vmem at P=8)
 
-    Half B's VPU epilogue overlaps half A's MXU matmul (measured ~10% device
-    win). Returns (h_a, h_b, x_a, x_b) with h the final bf16 activations
-    (W, T/2) and x the f32 inputs (IN_ROWS, T/2)."""
+
+def _trunk_pipelined(refs, x_ref, depth, skips):
+    """Run the xyz trunk over PIPELINE_PARTS skewed lane-slices of the tile.
+
+    Part p runs one layer behind part p-1, so part p's VPU epilogue
+    (bias+relu+cast) is textually interleaved between the other parts' MXU
+    matmuls — Mosaic schedules mostly in program order, and the explicit
+    skew measured ~10% device win at 2 parts. Returns (hs, xs): lists of
+    final bf16 activations (W, T/P) and f32 inputs (IN_ROWS, T/P)."""
     bf = jnp.bfloat16
+    parts = PIPELINE_PARTS
     tile = x_ref.shape[1]
-    half = tile // 2
+    q = tile // parts
 
     def emb_of(x):
         return jnp.sin(_dot_f32(refs["sx"][...], x) + refs["px"][...]).astype(bf)
@@ -229,44 +239,46 @@ def _trunk_pipelined(refs, x_ref, depth, skips):
             y = y + _dot(refs[f"w{i}x"][...], x) + _dot(refs[f"w{i}s"][...], e)
         return y
 
-    xa = x_ref[:, :half]
-    xb = x_ref[:, half:]
-    ea = emb_of(xa)
-    ya = stage0(xa, ea)
-    eb = emb_of(xb)
-    yb = stage0(xb, eb)
-    ha = jax.nn.relu(ya + refs["b0"][...]).astype(bf)
-    for i in range(1, depth):
-        za = stage(i, ha, xa, ea)
-        hb = jax.nn.relu(yb + refs[f"b{i-1}"][...]).astype(bf)
-        zb = stage(i, hb, xb, eb)
-        ha = jax.nn.relu(za + refs[f"b{i}"][...]).astype(bf)
-        yb = zb
-    hb = jax.nn.relu(yb + refs[f"b{depth-1}"][...]).astype(bf)
-    return ha, hb, xa, xb
+    xs, es, ys = [], [], []
+    for p in range(parts):
+        x = x_ref[:, p * q:(p + 1) * q]
+        e = emb_of(x)
+        xs.append(x)
+        es.append(e)
+        ys.append(stage0(x, e))
+    hs = [None] * parts
+    # wavefront: at wave w, part p computes layer (w - p)
+    for wave in range(1, depth + parts):
+        for p in range(parts):
+            layer = wave - p
+            if 1 <= layer <= depth - 1:
+                hs[p] = jax.nn.relu(ys[p] + refs[f"b{layer-1}"][...]).astype(bf)
+                ys[p] = stage(layer, hs[p], xs[p], es[p])
+    for p in range(parts):
+        hs[p] = jax.nn.relu(ys[p] + refs[f"b{depth-1}"][...]).astype(bf)
+    return hs, xs
 
 
 def _sigma_kernel(depth, skips, x_ref, *args):
     *w_refs, out_ref = args
     refs = dict(zip(_sigma_names(depth, skips), w_refs))
-    half = x_ref.shape[1] // 2
-    ha, hb, _, _ = _trunk_pipelined(refs, x_ref, depth, skips)
-    out_ref[:, :half] = (_dot(refs["w_sigma"][...], ha)
-                         + refs["b_sigma"][...])[:OUT_ROWS, :]
-    out_ref[:, half:] = (_dot(refs["w_sigma"][...], hb)
-                         + refs["b_sigma"][...])[:OUT_ROWS, :]
+    hs, _ = _trunk_pipelined(refs, x_ref, depth, skips)
+    q = x_ref.shape[1] // len(hs)
+    for p, h in enumerate(hs):
+        out_ref[:, p * q:(p + 1) * q] = (
+            _dot(refs["w_sigma"][...], h) + refs["b_sigma"][...])[:OUT_ROWS, :]
 
 
 def _full_kernel(depth, skips, x_ref, d_ref, *args):
     *w_refs, out_ref = args
     refs = dict(zip(_full_names(depth, skips), w_refs))
     bf = jnp.bfloat16
-    half = x_ref.shape[1] // 2
 
-    ha, hb, _, _ = _trunk_pipelined(refs, x_ref, depth, skips)
+    hs, _ = _trunk_pipelined(refs, x_ref, depth, skips)
+    q = x_ref.shape[1] // len(hs)
 
     def heads(h, d):
-        sig = _dot(refs["w_sigma"][...], h) + refs["b_sigma"][...]   # (128,T/2)
+        sig = _dot(refs["w_sigma"][...], h) + refs["b_sigma"][...]   # (128,T/P)
         demb = jnp.sin(_dot_f32(refs["sd"][...], d) + refs["pd"][...]).astype(bf)
         hd = jax.nn.relu(_dot(refs["w_comb"][...], h)
                          + _dot(refs["wdx"][...], d)
@@ -277,8 +289,8 @@ def _full_kernel(depth, skips, x_ref, d_ref, *args):
         res = jnp.where(row < 3, rgb, jnp.where(row == SIGMA_ROW, sig, 0.0))
         return res[:OUT_ROWS, :]
 
-    out_ref[:, :half] = heads(ha, d_ref[:, :half])
-    out_ref[:, half:] = heads(hb, d_ref[:, half:])
+    for p, h in enumerate(hs):
+        out_ref[:, p * q:(p + 1) * q] = heads(h, d_ref[:, p * q:(p + 1) * q])
 
 
 def _run_t(kernel_fn, names, packed, point_inputs):
