@@ -45,7 +45,7 @@ def get_opts(args=None):
                              "quality-validated)")
     parser.add_argument('--fast_candidates', type=int, default=32)
     parser.add_argument('--fast_keep', type=int, default=16)
-    parser.add_argument('--fast_select', type=str, default='topk',
+    parser.add_argument('--fast_select', type=str, default='pdf',
                         choices=['topk', 'pdf'])
     parser.add_argument('--fast_distill_steps', type=int, default=500)
     parser.add_argument('--fast_distill_batch', type=int, default=65536)

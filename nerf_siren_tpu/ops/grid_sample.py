@@ -6,6 +6,12 @@ JAX autodiff provides the higher-order gradients the reference's gradfix
 wrapper existed for. Implemented as 4-corner gather + lerp; XLA lowers the
 gathers, and a Pallas VMEM-resident variant is the planned upgrade if the
 triplane path becomes gather-bound.
+
+Measured (v5e, 3x32x256x256 planes, 524K samples): 22.7 M samples/s —
+gather-bound; a row-gather orientation ((H*W, C) rows, channels in lanes)
+lowers to the identical XLA gather and measures the same, so the win has to
+come from a Pallas kernel that keeps the plane VMEM-resident, not from
+re-orienting the XLA op.
 """
 from __future__ import annotations
 

@@ -189,9 +189,11 @@ def render_rays_fast(
       'pdf'  — inverse-CDF sample the proxy's weight distribution
         (deterministic quantiles), exactly the reference's hierarchical
         sample_pdf (models/rendering.py:22-67) with the proxy standing in
-        for the coarse network. Samples spread proportionally over ALL
-        visible mass instead of cherry-picking discrete candidates, which
-        measures several dB better at small n_keep.
+        for the coarse network. With the phantom-suppressed proxy
+        (overpredict_weight=16), pdf matches or beats topk at every
+        measured (C, K): 29.8 vs 28.4 dB agreement at 32/8, 32.2 vs 28.4
+        at 32/16 (frontier table in BASELINE.md); with a phantom-prone
+        proxy it is strictly worse (quantiles chase the phantoms).
 
     packed_params: optional pack_model_params(params) — when given, the
       full-model evaluation at the survivors runs through the transposed
