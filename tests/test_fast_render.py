@@ -158,3 +158,30 @@ def test_fast_render_fused_matches_jnp_branch():
                                        atol=1e-2, rtol=2e-2, err_msg=k)
     finally:
         fused_mlp.TILE_N = old
+
+
+def test_distill_overpredict_weight_suppresses_phantoms():
+    """The asymmetric distillation loss must cut proxy overprediction in
+    empty space (the failure mode that silently breaks expected-weight
+    culling) without losing the occupied-region signal."""
+    def sigma_fn(pts):  # a dense ball at the origin, empty elsewhere
+        r2 = jnp.sum(pts ** 2, -1)
+        return jnp.where(r2 < 0.25, 50.0, 0.0)
+
+    kw = dict(steps=150, batch=4096, hidden=32)
+    p_sym = distill_proxy(sigma_fn, [-2] * 3, [2] * 3, jax.random.PRNGKey(0),
+                          overpredict_weight=1.0, **kw)
+    p_asym = distill_proxy(sigma_fn, [-2] * 3, [2] * 3, jax.random.PRNGKey(0),
+                           overpredict_weight=16.0, **kw)
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-2, 2, (8192, 3)).astype(np.float32)
+    empty = jnp.asarray(pts[np.sum(pts ** 2, -1) > 0.5])
+    phantom_sym = float(jnp.percentile(apply_proxy(p_sym, empty, None), 99))
+    phantom_asym = float(jnp.percentile(apply_proxy(p_asym, empty, None), 99))
+    assert phantom_asym < phantom_sym, (phantom_asym, phantom_sym)
+
+    inside = float(jnp.mean(apply_proxy(
+        p_asym, jnp.asarray(rng.uniform(-0.3, 0.3, (512, 3)).astype(np.float32)),
+        None)))
+    assert inside > 1.0, f"occupied signal lost: {inside}"  # log1p(50) ~ 3.9
