@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 
 from nerf_siren_tpu.config import NeRFConfig, RenderConfig
+from nerf_siren_tpu.ops.pallas import fused_mlp
 from nerf_siren_tpu.ops.pallas.fused_mlp import (
-    IN_ROWS, SIGMA_ROW, TILE_N, fused_full_t, fused_sigma_t)
+    IN_ROWS, SIGMA_ROW, fused_full_t, fused_sigma_t)
 from nerf_siren_tpu.ops.sample_pdf import sample_pdf
 from nerf_siren_tpu.render.rendering import composite, stratified_z_vals
 
@@ -60,7 +61,8 @@ def render_rays_fused(
     dir_norm = jnp.linalg.norm(rays[:, 3:6], axis=-1, keepdims=True)
 
     def pad_n(xT):
-        return jnp.pad(xT, ((0, 0), (0, -xT.shape[1] % TILE_N)))
+        # read TILE_N dynamically: tests shrink it for interpreter runs
+        return jnp.pad(xT, ((0, 0), (0, -xT.shape[1] % fused_mlp.TILE_N)))
 
     # ---- coarse σ-only pass -> importance weights -------------------------
     z_vals = stratified_z_vals(near, far, cfg.n_samples, use_disp=cfg.use_disp)
