@@ -1,0 +1,205 @@
+"""Fused proxy march + inverse-CDF sample selection (Pallas TPU kernel).
+
+Collapses the fast renderer's entire pre-model pipeline (render/fast.py
+steps 2-4: candidate march, proxy MLP scoring, expected compositing weights,
+deterministic inverse-CDF placement) into one VMEM-resident kernel and emits
+the survivor coordinates directly in the transposed lane-major layout the
+fused field kernel (ops/pallas/fused_mlp.py) consumes.
+
+Why it exists: at C=32 candidates the jnp pipeline costs ~55 ms of a 640K-ray
+frame and none of it is FLOPs (the proxy MLP is ~250x smaller than the NeRF
+field). The point-major proxy eval is layout-bound (narrow (R,S,33) tiles),
+the (R,C) expected-weight tensor round-trips HBM, sample_pdf materializes an
+(R,K,C) comparison tensor, and the survivor-coordinate broadcast
+(8,R,K)->(8,R*K) is a narrow relayout. In-kernel all of it is sublane math
+over (C,T)/(128,T) tiles that never leaves VMEM; the only HBM traffic is
+(8,T) rays in and (K,T) depths + two (8,K*T) coordinate blocks out.
+
+Semantics match render_rays_fast(select='pdf'), i.e. the reference's
+deterministic hierarchical sample_pdf (reference: models/rendering.py:22-67)
+with the proxy standing in for the coarse pass: uniform candidates in
+[near, far], expected weight = alpha x transmittance under the proxy density
+sigma_hat = expm1(relu(score)), z-midpoint bins over the INTERIOR weights
+w[1:-1], eps-floored pdf, zero-padded CDF, u = linspace(0,1,K), clamped
+below/above bins, denom<eps -> 1. Equality with the jnp path is asserted in
+tests/test_proxy_march.py (small bf16 matmul-order deltas move the CDF, but
+the inverse-CDF interpolation is continuous, so depths differ by O(eps)).
+
+The three per-k index lookups need no gathers: candidate depths are an
+analytic function of the index (z_i = near + i*spacing), so `bins_below` is
+computed directly from the masked COUNT, and the cdf value lookups become
+masked min/max sublane reductions (the same trick ops/sample_pdf.py uses,
+but over VMEM rows instead of an (R,K,C) HBM tensor).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_siren_tpu.ops.pallas.fused_mlp import (
+    IN_ROWS, OUT_ROWS, _dot, _dot_f32, _embed_matrices_t, _split_embed_cols)
+
+PROXY_FREQS = 5     # must match render/fast.py
+EMB_ROWS = 32       # 15 sin + 15 cos + 2 pad
+HID_ROWS = 128      # proxy hidden padded to one MXU row block
+TILE_R = 2048       # rays (lanes) per grid step
+
+
+def pack_proxy_params(proxy: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """Convert an init_proxy/distill_proxy pytree into the kernel layout.
+
+    The l1 embedding columns are split like the field kernel's: passthrough
+    coordinate columns act on the ray ORIGIN rows (0-2) and, scaled by z, on
+    the DIRECTION rows (3-5) — xyz = o + d*z never materializes, the kernel
+    evaluates W1x @ xyz as (W1x@o) + (W1x@d)*z with both matmuls hoisted out
+    of the candidate loop. Same for the frequency matrix S.
+    """
+    l1k = np.asarray(proxy["l1"]["kernel"], np.float32).T       # (H, 33)
+    hid = l1k.shape[0]
+    assert hid <= HID_ROWS, f"proxy hidden {hid} exceeds kernel cap {HID_ROWS}"
+    w1x, w1s = _split_embed_cols(l1k, PROXY_FREQS)              # (H,8),(H,32)
+    w1x = np.pad(w1x, ((0, HID_ROWS - hid), (0, 0)))
+    w1s = np.pad(w1s, ((0, HID_ROWS - hid), (0, 0)))
+    b1 = np.zeros((HID_ROWS, 1), np.float32)
+    b1[:hid, 0] = np.asarray(proxy["l1"]["bias"], np.float32)
+    w2 = np.zeros((8, HID_ROWS), np.float32)
+    w2[0, :hid] = np.asarray(proxy["l2"]["kernel"], np.float32)[:, 0]
+    b2 = np.zeros((8, 1), np.float32)
+    b2[0, 0] = np.asarray(proxy["l2"]["bias"], np.float32)[0]
+
+    S, P = _embed_matrices_t(PROXY_FREQS, EMB_ROWS)             # (32,8),(32,1)
+    s_d = np.zeros_like(S)
+    s_d[:, 3:6] = S[:, 0:3]          # direction rows live at 3-5 of raysT
+    w1x_d = np.zeros_like(w1x)
+    w1x_d[:, 3:6] = w1x[:, 0:3]
+    bf = jnp.bfloat16
+    return {"s_o": jnp.asarray(S), "s_d": jnp.asarray(s_d),
+            "p": jnp.asarray(P),
+            "w1x_o": jnp.asarray(w1x, bf), "w1x_d": jnp.asarray(w1x_d, bf),
+            "w1s": jnp.asarray(w1s, bf), "b1": jnp.asarray(b1),
+            "w2": jnp.asarray(w2, bf), "b2": jnp.asarray(b2)}
+
+
+_WEIGHT_NAMES = ("s_o", "s_d", "p", "w1x_o", "w1x_d", "w1s", "b1", "w2", "b2")
+
+
+def _march_kernel(C, K, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
+                  z_ref, xyz_ref, dir_ref):
+    bf = jnp.bfloat16
+    x = x_ref[...]                                    # (8, T) f32
+    tile = x.shape[1]
+    o = x[0:3]
+    d = x[3:6]
+    near, far = x[6:7], x[7:8]                        # (1, T)
+    dirn = jnp.sqrt(d[0:1] ** 2 + d[1:2] ** 2 + d[2:3] ** 2)
+    spacing = (far - near) / (C - 1)
+    dz = spacing * dirn
+
+    xb = x.astype(bf)
+    # hoisted z-independent operands: emb_j = sin(A + B*z_j),
+    # l1(xyz_j) = l1o + l1d*z_j + W1s @ emb_j + b1
+    a_op = _dot_f32(s_o[...], x) + p[...]             # (32, T) f32
+    b_op = _dot_f32(s_d[...], x)                      # (32, T) f32
+    l1o = _dot(w1x_o[...], xb)                        # (128, T) f32
+    l1d = _dot(w1x_d[...], xb)                        # (128, T) f32
+
+    # candidate march under the proxy: expected compositing weight rows
+    tr = jnp.ones_like(near)
+    w_rows = []
+    for j in range(C):
+        t = j / (C - 1)
+        zj = near * (1.0 - t) + far * t               # (1, T)
+        emb = jnp.sin(a_op + b_op * zj).astype(bf)
+        pre = _dot(w1s[...], emb) + l1o + l1d * zj + b1[...]
+        h = jax.nn.relu(pre).astype(bf)
+        score = (_dot(w2[...], h) + b2[...])[0:1]     # (1, T) f32
+        sig = jnp.expm1(jax.nn.relu(score))
+        a = 1.0 - jnp.exp(-sig * dz)
+        w_rows.append(a * tr)
+        tr = tr * (1.0 - a + 1e-10)
+
+    # deterministic inverse-CDF over the interior weights / midpoint bins
+    ws = jnp.concatenate(w_rows[1:C - 1], axis=0) + 1e-5     # (C-2, T)
+    pdf = ws / jnp.sum(ws, axis=0, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=0)                            # rows 1..C-2
+    last = cdf[-1:, :]
+    # bins b_i = near + (i+0.5)*spacing for i in [0, C-2]; cdf entry c_0 = 0
+    z_rows, xyz_blocks = [], []
+    for k in range(K):
+        u = k / (K - 1) if K > 1 else 0.0
+        mask = cdf <= u
+        cnt = 1.0 + jnp.sum(mask.astype(jnp.float32), axis=0)  # incl. c_0
+        below = cnt - 1.0                                      # in [0, C-2]
+        above = jnp.minimum(cnt, float(C - 2))
+        cdf_below = jnp.max(jnp.where(mask, cdf, 0.0), axis=0, keepdims=True)
+        cdf_above = jnp.min(jnp.where(mask, 2.0, cdf), axis=0, keepdims=True)
+        cdf_above = jnp.where(cdf_above > 1.5, last, cdf_above)
+        bins_below = near + (below[None, :] + 0.5) * spacing
+        bins_above = near + (above[None, :] + 0.5) * spacing
+        denom = cdf_above - cdf_below
+        denom = jnp.where(denom < 1e-5, 1.0, denom)
+        zk = bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
+        z_rows.append(zk)
+        xyz_blocks.append(o + d * zk)                          # (3, T)
+
+    z_ref[...] = jnp.concatenate(z_rows, axis=0)               # (K, T)
+    zero5 = jnp.zeros((IN_ROWS - 3, tile), jnp.float32)
+    d8 = jnp.concatenate([d, zero5], axis=0)
+    for k in range(K):
+        xyz_ref[:, k * tile:(k + 1) * tile] = jnp.concatenate(
+            [xyz_blocks[k], zero5], axis=0)
+        dir_ref[:, k * tile:(k + 1) * tile] = d8
+
+
+@functools.partial(jax.jit, static_argnames=("n_candidates", "n_keep"))
+def proxy_march_select(
+    packed_proxy: Dict[str, jnp.ndarray],
+    raysT: jnp.ndarray,
+    n_candidates: int,
+    n_keep: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """March C uniform candidates per ray, select K depths by proxy-guided
+    deterministic inverse-CDF, and return the survivors transposed.
+
+    raysT: (8, R) f32 rows [ox,oy,oz,dx,dy,dz,near,far]; R a multiple of
+    TILE_R (pad rays with zeros — zero rays produce finite garbage that the
+    caller slices off).
+
+    Returns (z_sel, xyzT, dirT): (K, R) f32 ascending depths, and
+    (8, K*R) f32 survivor coordinates/directions in CANDIDATE-MAJOR order
+    (point p = k*R + r), ready for fused_full_t. K*TILE_R must be a
+    multiple of the field kernel's TILE_N for a pad-free handoff.
+    """
+    C, K = n_candidates, n_keep
+    assert C >= 4 and K >= 2
+    r = raysT.shape[1]
+    assert r % TILE_R == 0, f"pad rays to a multiple of {TILE_R} (got {r})"
+    grid = (r // TILE_R,)
+    kernel = functools.partial(_march_kernel, C, K)
+    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _WEIGHT_NAMES]
+    z_sel, xyzT, dirT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((IN_ROWS, TILE_R), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] + weight_specs,
+        out_specs=[
+            pl.BlockSpec((K, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN_ROWS, K * TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN_ROWS, K * TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, r), jnp.float32),
+            jax.ShapeDtypeStruct((IN_ROWS, K * r), jnp.float32),
+            jax.ShapeDtypeStruct((IN_ROWS, K * r), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(raysT, *[packed_proxy[k] for k in _WEIGHT_NAMES])
+    return z_sel, xyzT, dirT

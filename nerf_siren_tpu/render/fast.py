@@ -174,6 +174,7 @@ def render_rays_fast(
     refine_mult: int = 1,
     select: str = "topk",
     packed_params: Optional[Dict[str, Any]] = None,
+    packed_proxy: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, jax.Array]:
     """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity.
 
@@ -198,7 +199,15 @@ def render_rays_fast(
     packed_params: optional pack_model_params(params) — when given, the
       full-model evaluation at the survivors runs through the transposed
       fused Pallas kernel (ops/pallas/fused_mlp.py) instead of the jnp MLP,
-      which roughly halves the dominant cost of this renderer."""
+      which roughly halves the dominant cost of this renderer.
+
+    packed_proxy: optional pack_proxy_params(proxy) — with select='pdf' and
+      packed_params both given, the ENTIRE pre-model pipeline (candidate
+      march, proxy scoring, expected weights, inverse-CDF selection,
+      survivor-coordinate layout) runs inside one Pallas kernel
+      (ops/pallas/proxy_march.py) and the compositing stays lane-major;
+      same semantics, ~none of the jnp path's narrow-layout HBM traffic.
+      Requires even n_keep (lane-count alignment with the field kernel)."""
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -258,6 +267,45 @@ def render_rays_fast(
         tr = jnp.cumprod(1.0 - a_hat + 1e-10, axis=-1)
         tr = jnp.concatenate([jnp.ones_like(tr[:, :1]), tr[:, :-1]], axis=-1)
         return a_hat * tr
+
+    if select == "pdf" and packed_proxy is not None and packed_params is not None:
+        from nerf_siren_tpu.ops.pallas import proxy_march
+        from nerf_siren_tpu.ops.pallas.fused_mlp import (
+            TILE_N, SIGMA_ROW, fused_full_t)
+
+        tile = proxy_march.TILE_R
+        assert n_keep % 2 == 0 and (n_keep * tile) % TILE_N == 0, \
+            "fused pdf path needs even n_keep"
+        pad_r = -r % tile
+        raysT = jnp.concatenate([rays[:, :6].T, near.T, far.T], axis=0)
+        raysT = jnp.pad(raysT, ((0, 0), (0, pad_r)))
+        rp = r + pad_r
+        zs, xyzT, dirT = proxy_march.proxy_march_select(
+            packed_proxy, raysT, n_candidates, n_keep)
+        out8 = fused_full_t(packed_params[model], xyzT, dirT,
+                            depth=nerf_cfg.depth, skips=nerf_cfg.skips)
+        # kernel point order: ray-tile major, then candidate, then ray
+        nt = rp // tile
+        out8 = out8.reshape(8, nt, n_keep, tile)
+        sig_kr = out8[SIGMA_ROW].transpose(1, 0, 2).reshape(n_keep, rp)
+        rgb_kr = out8[:3].transpose(0, 2, 1, 3).reshape(3, n_keep, rp)
+        near_t, far_t = raysT[6:7], raysT[7:8]
+        dirn_t = jnp.sqrt(jnp.sum(raysT[3:6] ** 2, axis=0, keepdims=True))
+        spacing_t = (far_t - near_t) / (n_candidates - 1)
+        deltas = jnp.concatenate(
+            [zs[1:] - zs[:-1], jnp.broadcast_to(spacing_t, (1, rp))],
+            axis=0) * dirn_t
+        alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sig_kr))
+        trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=0)
+        trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]], 0)
+        weights = alphas * trans                                 # (K, Rp)
+        opacity = jnp.sum(weights, axis=0)
+        rgb = jnp.einsum("kr,ckr->rc", weights, rgb_kr)
+        if white_back:
+            rgb = rgb + (1.0 - opacity[:, None])
+        depth = jnp.sum(weights * zs, axis=0)
+        return {f"rgb_{model}": rgb[:r], f"depth_{model}": depth[:r],
+                f"opacity_{model}": opacity[:r]}
 
     # coarse uniform candidates → keep the highest expected-weight depths
     t = jnp.linspace(0.0, 1.0, n_candidates)

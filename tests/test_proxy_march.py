@@ -1,0 +1,114 @@
+"""Fused proxy-march kernel vs the jnp fast-renderer pdf path.
+
+The kernel (ops/pallas/proxy_march.py) must reproduce render_rays_fast's
+select='pdf' pipeline: same expected-weight math, same deterministic
+inverse-CDF placement (reference sample_pdf semantics,
+reference: models/rendering.py:22-67), same survivor coordinates. Runs in
+Pallas interpret mode on CPU (the torchsearchsorted CPU-oracle pattern,
+SURVEY.md §4); the same code path executes compiled on TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_siren_tpu.config import NeRFConfig
+from nerf_siren_tpu.models.nerf import init_nerf
+from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
+from nerf_siren_tpu.ops.pallas.proxy_march import (
+    TILE_R, pack_proxy_params, proxy_march_select)
+from nerf_siren_tpu.ops.sample_pdf import sample_pdf
+from nerf_siren_tpu.render.fast import (apply_proxy, init_proxy,
+                                        render_rays_fast)
+
+C, K = 16, 8
+
+
+def _rays(n, seed=0):
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    d = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full((n, 1), 2.0, np.float32)
+    far = np.full((n, 1), 6.0, np.float32)
+    return jnp.asarray(np.concatenate([o, d, near, far], -1))
+
+
+def _reference_z_sel(proxy, rays):
+    """The jnp pdf-selection pipeline exactly as render_rays_fast builds it."""
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    t = jnp.linspace(0.0, 1.0, C)
+    z = near * (1 - t) + far * t
+    spacing = (far - near) / (C - 1)
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    score = apply_proxy(proxy, xyz, jnp.bfloat16)
+    sigma_hat = jnp.expm1(jax.nn.relu(score.astype(jnp.float32)))
+    a_hat = 1.0 - jnp.exp(-sigma_hat * spacing * dir_norm)
+    tr = jnp.cumprod(1.0 - a_hat + 1e-10, axis=-1)
+    tr = jnp.concatenate([jnp.ones_like(tr[:, :1]), tr[:, :-1]], axis=-1)
+    w_hat = a_hat * tr
+    z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+    return sample_pdf(z_mid, w_hat[:, 1:-1], K, rng=None, det=True)
+
+
+@pytest.fixture(scope="module")
+def proxy():
+    return init_proxy(jax.random.PRNGKey(3), hidden=96)
+
+
+def test_selected_depths_match_jnp_pdf_path(proxy):
+    rays = _rays(TILE_R)
+    z_ref = np.asarray(_reference_z_sel(proxy, rays))
+    packed = pack_proxy_params(proxy)
+    z_sel, xyzT, dirT = proxy_march_select(packed, rays.T, C, K)
+    z_kernel = np.asarray(z_sel).T                        # (R, K)
+    span = 4.0  # far - near
+    # bf16 matmul-order deltas shift the CDF slightly; the inverse-CDF interp
+    # is continuous, so depths must agree to a small fraction of the span.
+    assert np.median(np.abs(z_kernel - z_ref)) < 0.005 * span
+    assert np.percentile(np.abs(z_kernel - z_ref), 99) < 0.05 * span
+    # ascending depths (u ascending through a monotone CDF)
+    assert np.all(np.diff(z_kernel, axis=-1) >= -1e-5)
+
+
+def test_survivor_coordinates_consistent(proxy):
+    rays = _rays(TILE_R, seed=1)
+    packed = pack_proxy_params(proxy)
+    z_sel, xyzT, dirT = proxy_march_select(packed, rays.T, C, K)
+    z = np.asarray(z_sel)                                 # (K, R)
+    o = np.asarray(rays[:, 0:3]).T                        # (3, R)
+    d = np.asarray(rays[:, 3:6]).T
+    xyz = np.asarray(xyzT)
+    dirs = np.asarray(dirT)
+    for k in range(K):
+        blk = xyz[:, k * TILE_R:(k + 1) * TILE_R]
+        np.testing.assert_allclose(blk[:3], o + d * z[k], rtol=0, atol=1e-4)
+        assert np.all(blk[3:] == 0.0)
+        np.testing.assert_array_equal(
+            dirs[:3, k * TILE_R:(k + 1) * TILE_R], d)
+
+
+def test_fused_fast_render_matches_jnp_fast_render(proxy):
+    """End-to-end: render_rays_fast with packed_proxy vs the jnp pdf path."""
+    cfg = NeRFConfig()
+    params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+    packed_params = pack_model_params(params, cfg)
+    packed_proxy = pack_proxy_params(proxy)
+    rays = _rays(256, seed=2)
+
+    base = render_rays_fast(params, proxy, rays, n_candidates=C, n_keep=K,
+                            nerf_cfg=cfg, white_back=True, select="pdf",
+                            packed_params=packed_params)
+    fused = render_rays_fast(params, proxy, rays, n_candidates=C, n_keep=K,
+                             nerf_cfg=cfg, white_back=True, select="pdf",
+                             packed_params=packed_params,
+                             packed_proxy=packed_proxy)
+    for k in ("rgb_fine", "depth_fine", "opacity_fine"):
+        a, b = np.asarray(base[k]), np.asarray(fused[k])
+        assert a.shape == b.shape
+        err = np.abs(a - b)
+        scale = max(1.0, float(np.abs(a).max()))
+        assert np.median(err) < 2e-3 * scale, (k, np.median(err))
+        assert np.percentile(err, 99) < 0.05 * scale, (k, np.percentile(err, 99))
