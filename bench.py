@@ -98,9 +98,11 @@ def main():
     # shapes, quality validated against the exact renderer in
     # tests/test_fast_render.py (agreement figures measured there on the
     # multi-view synthetic scene)
+    from nerf_siren_tpu.ops.pallas.proxy_march import pack_proxy_params
     from nerf_siren_tpu.render.fast import init_proxy, render_rays_fast
 
     proxy = init_proxy(jax.random.PRNGKey(2))
+    packed_proxy = pack_proxy_params(proxy)
     aabb = ([-1.3, -1.3, -1.3], [1.3, 1.3, 1.3])  # lego-scale occupied box
 
     def time_fast(n_candidates, n_keep):
@@ -111,7 +113,8 @@ def main():
                                        n_candidates=n_candidates, n_keep=n_keep,
                                        nerf_cfg=nerf_cfg, white_back=True,
                                        scene_aabb=aabb, select="pdf",
-                                       packed_params=packed)
+                                       packed_params=packed,
+                                       packed_proxy=packed_proxy)
                 return out["rgb_fine"]
             return jnp.sum(jax.lax.map(tile_fn, tiles))
 
@@ -253,12 +256,14 @@ def main():
         "secondary": {
             "fast_path_conservative_rays_per_sec": round(fast_hi_q, 1),
             "fast_path_aggressive_rays_per_sec": round(fast_fast, 1),
-            "fast_path_note": "proxy-culled renderer (render/fast.py), "
-                              "pdf select + fused Pallas model eval + "
-                              "phantom-suppressed proxy; conservative="
-                              "32cand/keep16 (32.2dB agreement with the "
-                              "exact render on a converged 33dB scene), "
-                              "aggressive=32/8 (29.8dB) — full curve in "
+            "fast_path_note": "proxy-culled renderer (render/fast.py): "
+                              "fused Pallas proxy-march kernel (march + "
+                              "pdf select in VMEM, ops/pallas/proxy_march"
+                              ".py) + fused Pallas model eval + phantom-"
+                              "suppressed proxy; conservative=32cand/"
+                              "keep16 (32.05dB agreement with the exact "
+                              "render on a converged 33dB scene), "
+                              "aggressive=32/8 (29.7dB) — full curve in "
                               "BASELINE.md / docs/fast_frontier.json",
             "exact_jnp_rays_per_sec": round(jnp_rays_per_sec, 1),
             "p50_full_frame_latency_s": round(dt / n_iters, 4),

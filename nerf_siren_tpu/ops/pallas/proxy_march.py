@@ -119,15 +119,23 @@ def _march_kernel(C, K, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
         pre = _dot(w1s[...], emb) + l1o + l1d * zj + b1[...]
         h = jax.nn.relu(pre).astype(bf)
         score = (_dot(w2[...], h) + b2[...])[0:1]     # (1, T) f32
-        sig = jnp.expm1(jax.nn.relu(score))
+        # exp(x)-1, not expm1: Mosaic has no expm1 lowering (KernelType.TC);
+        # score >= 0 here so the subtraction loses nothing material
+        sig = jnp.exp(jax.nn.relu(score)) - 1.0
         a = 1.0 - jnp.exp(-sig * dz)
         w_rows.append(a * tr)
         tr = tr * (1.0 - a + 1e-10)
 
     # deterministic inverse-CDF over the interior weights / midpoint bins
-    ws = jnp.concatenate(w_rows[1:C - 1], axis=0) + 1e-5     # (C-2, T)
-    pdf = ws / jnp.sum(ws, axis=0, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=0)                            # rows 1..C-2
+    # unrolled running sum (Mosaic has no cumsum lowering); the interior
+    # rows are already materialized, so this is C-3 adds on (1, T) rows.
+    # cdf = cumsum(ws)/sum(ws) == cumsum(ws / sum(ws))
+    acc = w_rows[1] + 1e-5
+    cum_rows = [acc]
+    for wr in w_rows[2:C - 1]:
+        acc = acc + (wr + 1e-5)
+        cum_rows.append(acc)
+    cdf = jnp.concatenate(cum_rows, axis=0) / acc            # (C-2, T)
     last = cdf[-1:, :]
     # bins b_i = near + (i+0.5)*spacing for i in [0, C-2]; cdf entry c_0 = 0
     z_rows, xyz_blocks = [], []
