@@ -49,6 +49,17 @@ def get_opts(args=None):
                         choices=['topk', 'pdf'])
     parser.add_argument('--fast_distill_steps', type=int, default=500)
     parser.add_argument('--fast_distill_batch', type=int, default=65536)
+    parser.add_argument('--fast_adaptive', type=float, nargs=2, default=None,
+                        metavar=('HI_FRACTION', 'K_HI'),
+                        help="per-ray adaptive K on the fused pdf path: "
+                             "re-render the HI_FRACTION most ambiguous rays "
+                             "at K_HI survivors (avg cost = fast_keep + "
+                             "HI_FRACTION*K_HI)")
+    parser.add_argument('--fast_cull', type=float, default=None,
+                        help="empty-ray culling on the fused pdf path: run "
+                             "the field model only on this fraction of rays "
+                             "(the most proxy-opaque); must cover the "
+                             "frame's foreground fraction with headroom")
     return parser.parse_args(args)
 
 
@@ -97,6 +108,7 @@ def main(hparams):
         model_key = 'fine' if 'fine' in params else 'coarse'
         # fused full-model eval needs the reference 8x256 topology
         fast_packed = None
+        fast_packed_proxy = None
         if nerf_cfg.width % 128 == 0 and nerf_cfg.skips == (4,):
             from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
             fast_packed = pack_model_params(params, nerf_cfg)
@@ -115,6 +127,23 @@ def main(hparams):
         aabb = estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3)
         print(f'scene AABB: {np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}',
               flush=True)
+        # fused proxy-march kernel: march + pdf selection in VMEM
+        if (fast_packed is not None and hparams.fast_select == 'pdf'
+                and hparams.fast_keep % 2 == 0):
+            from nerf_siren_tpu.ops.pallas.proxy_march import pack_proxy_params
+            fast_packed_proxy = pack_proxy_params(proxy)
+        fast_adaptive = None
+        if hparams.fast_adaptive is not None:
+            if fast_packed_proxy is None:
+                raise SystemExit('--fast_adaptive needs the fused pdf path '
+                                 '(fast_select=pdf, even fast_keep, 8x256 '
+                                 'model topology)')
+            frac, k_hi = hparams.fast_adaptive
+            fast_adaptive = (float(frac), int(k_hi))
+        if hparams.fast_cull is not None and fast_packed_proxy is None:
+            raise SystemExit('--fast_cull needs the fused pdf path '
+                             '(fast_select=pdf, even fast_keep, 8x256 '
+                             'model topology)')
 
         @jax.jit
         def render(params, rays):
@@ -130,7 +159,9 @@ def main(hparams):
                     n_keep=hparams.fast_keep, nerf_cfg=nerf_cfg,
                     model=model_key, white_back=dataset.white_back,
                     compute_dtype=compute_dtype, scene_aabb=aabb,
-                    select=hparams.fast_select, packed_params=fast_packed),
+                    select=hparams.fast_select, packed_params=fast_packed,
+                    packed_proxy=fast_packed_proxy, adaptive=fast_adaptive,
+                    cull=hparams.fast_cull),
                 tiles)
             return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
                     for k, v in out.items()}

@@ -89,12 +89,12 @@ def pack_proxy_params(proxy: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
 _WEIGHT_NAMES = ("s_o", "s_d", "p", "w1x_o", "w1x_d", "w1s", "b1", "w2", "b2")
 
 
-def _march_kernel(C, K, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
-                  z_ref, xyz_ref, dir_ref):
+def _march_weights(C, x, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2):
+    """The candidate march under the proxy, shared by both kernels.
+
+    x: (8, T) f32 rays. Returns (w_rows, tr): C expected-compositing-weight
+    rows (1, T) and the final transmittance (1, T)."""
     bf = jnp.bfloat16
-    x = x_ref[...]                                    # (8, T) f32
-    tile = x.shape[1]
-    o = x[0:3]
     d = x[3:6]
     near, far = x[6:7], x[7:8]                        # (1, T)
     dirn = jnp.sqrt(d[0:1] ** 2 + d[1:2] ** 2 + d[2:3] ** 2)
@@ -109,7 +109,6 @@ def _march_kernel(C, K, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
     l1o = _dot(w1x_o[...], xb)                        # (128, T) f32
     l1d = _dot(w1x_d[...], xb)                        # (128, T) f32
 
-    # candidate march under the proxy: expected compositing weight rows
     tr = jnp.ones_like(near)
     w_rows = []
     for j in range(C):
@@ -125,6 +124,30 @@ def _march_kernel(C, K, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
         a = 1.0 - jnp.exp(-sig * dz)
         w_rows.append(a * tr)
         tr = tr * (1.0 - a + 1e-10)
+    return w_rows, tr
+
+
+def _opacity_kernel(C, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
+                    out_ref):
+    """Per-ray proxy opacity only — the cheap culling prepass: C proxy evals
+    per ray, one (8, T) store, none of the selection / coordinate work."""
+    x = x_ref[...]                                    # (8, T) f32
+    _, tr = _march_weights(C, x, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2)
+    opac = 1.0 - tr                                   # (1, T)
+    row = jax.lax.broadcasted_iota(jnp.int32, (out_ref.shape[0], x.shape[1]), 0)
+    out_ref[...] = jnp.where(row == 0, opac, 0.0)
+
+
+def _march_kernel(C, K, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
+                  z_ref, xyz_ref, dir_ref):
+    x = x_ref[...]                                    # (8, T) f32
+    tile = x.shape[1]
+    o = x[0:3]
+    d = x[3:6]
+    near, far = x[6:7], x[7:8]                        # (1, T)
+    spacing = (far - near) / (C - 1)
+
+    w_rows, _ = _march_weights(C, x, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2)
 
     # deterministic inverse-CDF over the interior weights / midpoint bins
     # unrolled running sum (Mosaic has no cumsum lowering); the interior
@@ -163,6 +186,34 @@ def _march_kernel(C, K, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
         xyz_ref[:, k * tile:(k + 1) * tile] = jnp.concatenate(
             [xyz_blocks[k], zero5], axis=0)
         dir_ref[:, k * tile:(k + 1) * tile] = d8
+
+
+@functools.partial(jax.jit, static_argnames=("n_candidates",))
+def proxy_opacity(
+    packed_proxy: Dict[str, jnp.ndarray],
+    raysT: jnp.ndarray,
+    n_candidates: int,
+) -> jnp.ndarray:
+    """Per-ray proxy opacity (1 - final transmittance) over the candidate
+    march — the culling prepass. raysT: (8, R) f32, R a multiple of TILE_R.
+    Returns (R,) f32 in [0, 1]."""
+    C = n_candidates
+    assert C >= 4
+    r = raysT.shape[1]
+    assert r % TILE_R == 0, f"pad rays to a multiple of {TILE_R} (got {r})"
+    kernel = functools.partial(_opacity_kernel, C)
+    weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _WEIGHT_NAMES]
+    out = pl.pallas_call(
+        kernel,
+        grid=(r // TILE_R,),
+        in_specs=[pl.BlockSpec((IN_ROWS, TILE_R), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] + weight_specs,
+        out_specs=pl.BlockSpec((IN_ROWS, TILE_R), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((IN_ROWS, r), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(raysT, *[packed_proxy[k] for k in _WEIGHT_NAMES])
+    return out[0]
 
 
 @functools.partial(jax.jit, static_argnames=("n_candidates", "n_keep"))

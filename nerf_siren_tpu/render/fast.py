@@ -27,7 +27,7 @@ training uses the parity renderer.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -175,6 +175,8 @@ def render_rays_fast(
     select: str = "topk",
     packed_params: Optional[Dict[str, Any]] = None,
     packed_proxy: Optional[Dict[str, Any]] = None,
+    adaptive: Optional[Tuple[float, int]] = None,
+    cull: Optional[float] = None,
 ) -> Dict[str, jax.Array]:
     """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity.
 
@@ -207,7 +209,33 @@ def render_rays_fast(
       survivor-coordinate layout) runs inside one Pallas kernel
       (ops/pallas/proxy_march.py) and the compositing stays lane-major;
       same semantics, ~none of the jnp path's narrow-layout HBM traffic.
-      Requires even n_keep (lane-count alignment with the field kernel)."""
+      Requires even n_keep (lane-count alignment with the field kernel).
+
+    adaptive: optional (hi_fraction, k_hi) — per-ray adaptive K on the
+      fused pdf path. Every ray renders at n_keep first; the hi_fraction
+      most ambiguous rays (largest opacity-gated spread of their selected
+      depths — i.e. rays whose proxy CDF is dispersed AND that composite
+      something) are re-rendered at k_hi and scattered back. Average model
+      evals/ray = n_keep + hi_fraction*k_hi, so (8, 0.25, 32) costs K=16
+      while giving the ambiguous tail K=32. MEASURED NEGATIVE on the
+      frontier scene (docs/fast_frontier.json): at equal average cost it
+      loses to uniformly raising n_keep (8+0.25x32 = 30.3 dB vs plain
+      K=16 = 32.05 dB) — the K-limited residual is diffuse quadrature
+      error across all foreground rays, not a rankable tail. Kept for
+      experimentation.
+
+    cull: optional ACTIVE FRACTION in (0, 1] — empty-ray culling on the
+      fused pdf path, the inverse of `adaptive`: a cheap proxy-opacity
+      prepass (ops/pallas/proxy_march.py::proxy_opacity — C proxy evals
+      per ray, no selection or coordinate work) ranks all rays; only the
+      `cull` highest-opacity rays run the march+field pipeline at n_keep,
+      everything else composites to background (exactly what the exact
+      renderer produces for empty rays on a converged field). Average
+      model evals/ray = cull * n_keep. The fraction must cover the
+      frame's true foreground; rays ranked below the budget render as
+      background even if occupied, so size it with headroom (the
+      frontier tool measures the quality cost on a 40-50%-foreground
+      frame)."""
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -274,36 +302,84 @@ def render_rays_fast(
             TILE_N, SIGMA_ROW, fused_full_t)
 
         tile = proxy_march.TILE_R
+
+        def fused_pdf(raysT, k):
+            """March+select+eval+composite padded lane-major rays at K=k.
+
+            Returns point-major (Rp,·) rgb/depth/opacity plus the selected
+            depths zs (k, Rp) — the caller uses zs spread for adaptive-K
+            ambiguity ranking."""
+            rp = raysT.shape[1]
+            zs, xyzT, dirT = proxy_march.proxy_march_select(
+                packed_proxy, raysT, n_candidates, k)
+            out8 = fused_full_t(packed_params[model], xyzT, dirT,
+                                depth=nerf_cfg.depth, skips=nerf_cfg.skips)
+            # kernel point order: ray-tile major, then candidate, then ray
+            nt = rp // tile
+            out8 = out8.reshape(8, nt, k, tile)
+            sig_kr = out8[SIGMA_ROW].transpose(1, 0, 2).reshape(k, rp)
+            rgb_kr = out8[:3].transpose(0, 2, 1, 3).reshape(3, k, rp)
+            near_t, far_t = raysT[6:7], raysT[7:8]
+            dirn_t = jnp.sqrt(jnp.sum(raysT[3:6] ** 2, axis=0, keepdims=True))
+            spacing_t = (far_t - near_t) / (n_candidates - 1)
+            deltas = jnp.concatenate(
+                [zs[1:] - zs[:-1], jnp.broadcast_to(spacing_t, (1, rp))],
+                axis=0) * dirn_t
+            alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sig_kr))
+            trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=0)
+            trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]], 0)
+            weights = alphas * trans                             # (k, Rp)
+            opacity = jnp.sum(weights, axis=0)
+            rgb = jnp.einsum("kr,ckr->rc", weights, rgb_kr)
+            if white_back:
+                rgb = rgb + (1.0 - opacity[:, None])
+            depth = jnp.sum(weights * zs, axis=0)
+            return rgb, depth, opacity, zs
+
         assert n_keep % 2 == 0 and (n_keep * tile) % TILE_N == 0, \
             "fused pdf path needs even n_keep"
         pad_r = -r % tile
-        raysT = jnp.concatenate([rays[:, :6].T, near.T, far.T], axis=0)
-        raysT = jnp.pad(raysT, ((0, 0), (0, pad_r)))
+        rays8 = jnp.concatenate([rays[:, :6], near, far], axis=1)
+        rays8 = jnp.pad(rays8, ((0, pad_r), (0, 0)))
         rp = r + pad_r
-        zs, xyzT, dirT = proxy_march.proxy_march_select(
-            packed_proxy, raysT, n_candidates, n_keep)
-        out8 = fused_full_t(packed_params[model], xyzT, dirT,
-                            depth=nerf_cfg.depth, skips=nerf_cfg.skips)
-        # kernel point order: ray-tile major, then candidate, then ray
-        nt = rp // tile
-        out8 = out8.reshape(8, nt, n_keep, tile)
-        sig_kr = out8[SIGMA_ROW].transpose(1, 0, 2).reshape(n_keep, rp)
-        rgb_kr = out8[:3].transpose(0, 2, 1, 3).reshape(3, n_keep, rp)
-        near_t, far_t = raysT[6:7], raysT[7:8]
-        dirn_t = jnp.sqrt(jnp.sum(raysT[3:6] ** 2, axis=0, keepdims=True))
-        spacing_t = (far_t - near_t) / (n_candidates - 1)
-        deltas = jnp.concatenate(
-            [zs[1:] - zs[:-1], jnp.broadcast_to(spacing_t, (1, rp))],
-            axis=0) * dirn_t
-        alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sig_kr))
-        trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=0)
-        trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]], 0)
-        weights = alphas * trans                                 # (K, Rp)
-        opacity = jnp.sum(weights, axis=0)
-        rgb = jnp.einsum("kr,ckr->rc", weights, rgb_kr)
-        if white_back:
-            rgb = rgb + (1.0 - opacity[:, None])
-        depth = jnp.sum(weights * zs, axis=0)
+
+        if cull is not None:
+            assert adaptive is None, "cull and adaptive are exclusive"
+            n_act = max(tile, (int(cull * rp) + tile - 1) // tile * tile)
+            n_act = min(n_act, rp)
+            opac_hat = proxy_march.proxy_opacity(
+                packed_proxy, rays8.T, n_candidates)            # (Rp,)
+            opac_hat = jnp.where(jnp.arange(rp) < r, opac_hat, -1.0)
+            idx_act = jnp.argsort(-opac_hat)[:n_act]
+            rgb_a, depth_a, opac_a, _ = fused_pdf(rays8[idx_act].T, n_keep)
+            bg = 1.0 if white_back else 0.0
+            rgb = jnp.full((rp, 3), bg, jnp.float32).at[idx_act].set(rgb_a)
+            depth = jnp.zeros((rp,), jnp.float32).at[idx_act].set(depth_a)
+            opacity = jnp.zeros((rp,), jnp.float32).at[idx_act].set(opac_a)
+            return {f"rgb_{model}": rgb[:r], f"depth_{model}": depth[:r],
+                    f"opacity_{model}": opacity[:r]}
+
+        rgb, depth, opacity, zs = fused_pdf(rays8.T, n_keep)
+
+        if adaptive is not None:
+            hi_frac, k_hi = adaptive
+            assert k_hi % 2 == 0, "adaptive k_hi must be even"
+            n_hi = max(tile, (int(hi_frac * rp) + tile - 1) // tile * tile)
+            n_hi = min(n_hi, rp)
+            # ambiguity = world-space spread of the selected depths, gated
+            # by opacity: background rays have a near-uniform proxy CDF
+            # (huge spread) but nothing to composite — don't spend on them
+            dirn_r = jnp.sqrt(jnp.sum(rays8[:, 3:6] ** 2, axis=1))
+            amb = (zs[-1] - zs[0]) * dirn_r * opacity
+            amb = jnp.where(jnp.arange(rp) < r, amb, -1.0)  # pad rows last
+            # full argsort + slice: bitonic sort is milliseconds on TPU,
+            # lax.top_k at this size is not (measured round 1)
+            idx_hi = jnp.argsort(-amb)[:n_hi]
+            rgb_hi, depth_hi, opac_hi, _ = fused_pdf(rays8[idx_hi].T, k_hi)
+            rgb = rgb.at[idx_hi].set(rgb_hi)
+            depth = depth.at[idx_hi].set(depth_hi)
+            opacity = opacity.at[idx_hi].set(opac_hi)
+
         return {f"rgb_{model}": rgb[:r], f"depth_{model}": depth[:r],
                 f"opacity_{model}": opacity[:r]}
 

@@ -90,6 +90,98 @@ def test_survivor_coordinates_consistent(proxy):
             dirs[:3, k * TILE_R:(k + 1) * TILE_R], d)
 
 
+def test_adaptive_k_full_fraction_equals_plain_k_hi(proxy):
+    """adaptive=(1.0, k_hi) re-renders EVERY ray at k_hi, so the scattered
+    result must equal a plain run with n_keep=k_hi; and a partial fraction
+    must leave the un-selected rays bit-identical to the base-K render."""
+    cfg = NeRFConfig()
+    params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+    packed_params = pack_model_params(params, cfg)
+    packed_proxy = pack_proxy_params(proxy)
+    rays = _rays(4 * TILE_R, seed=3)
+    common = dict(n_candidates=C, nerf_cfg=cfg, white_back=True,
+                  select="pdf", packed_params=packed_params,
+                  packed_proxy=packed_proxy)
+
+    plain_hi = render_rays_fast(params, proxy, rays, n_keep=16, **common)
+    adapt_all = render_rays_fast(params, proxy, rays, n_keep=K,
+                                 adaptive=(1.0, 16), **common)
+    for key in ("rgb_fine", "depth_fine", "opacity_fine"):
+        np.testing.assert_allclose(np.asarray(adapt_all[key]),
+                                   np.asarray(plain_hi[key]),
+                                   rtol=0, atol=1e-5)
+
+    base = render_rays_fast(params, proxy, rays, n_keep=K, **common)
+    adapt_part = render_rays_fast(params, proxy, rays, n_keep=K,
+                                  adaptive=(0.25, 16), **common)
+    rgb_b = np.asarray(base["rgb_fine"])
+    rgb_a = np.asarray(adapt_part["rgb_fine"])
+    changed = np.any(rgb_b != rgb_a, axis=-1)
+    n_rays = rays.shape[0]
+    # exactly one tile's worth of rays is re-rendered (0.25 * 4 tiles)
+    assert changed.sum() <= TILE_R
+    # the re-rendered rays must be the highest-ambiguity ones; everyone
+    # else is untouched
+    assert np.array_equal(rgb_b[~changed], rgb_a[~changed])
+
+
+def test_proxy_opacity_matches_jnp_march(proxy):
+    """The culling prepass kernel must reproduce 1 - final transmittance of
+    the jnp candidate march (render_rays_fast's proxy_weights math)."""
+    from nerf_siren_tpu.ops.pallas.proxy_march import proxy_opacity
+
+    rays = _rays(TILE_R, seed=4)
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    t = jnp.linspace(0.0, 1.0, C)
+    z = near * (1 - t) + far * t
+    spacing = (far - near) / (C - 1)
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    score = apply_proxy(proxy, xyz, jnp.bfloat16)
+    sigma_hat = jnp.expm1(jax.nn.relu(score.astype(jnp.float32)))
+    a_hat = 1.0 - jnp.exp(-sigma_hat * spacing * dir_norm)
+    opac_ref = 1.0 - jnp.prod(1.0 - a_hat + 1e-10, axis=-1)
+
+    packed = pack_proxy_params(proxy)
+    opac = np.asarray(proxy_opacity(packed, rays.T, C))
+    err = np.abs(opac - np.asarray(opac_ref))
+    assert np.median(err) < 2e-3
+    assert err.max() < 0.05
+
+
+def test_cull_full_fraction_equals_plain(proxy):
+    """cull=1.0 runs every ray through the normal pipeline (permuted by the
+    opacity sort, scattered back) — output must equal the plain fused render
+    exactly; a partial fraction must leave the culled rays at background."""
+    cfg = NeRFConfig()
+    params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+    packed_params = pack_model_params(params, cfg)
+    packed_proxy = pack_proxy_params(proxy)
+    rays = _rays(2 * TILE_R, seed=5)
+    common = dict(n_candidates=C, n_keep=K, nerf_cfg=cfg, white_back=True,
+                  select="pdf", packed_params=packed_params,
+                  packed_proxy=packed_proxy)
+
+    plain = render_rays_fast(params, proxy, rays, **common)
+    culled_all = render_rays_fast(params, proxy, rays, cull=1.0, **common)
+    for key in ("rgb_fine", "depth_fine", "opacity_fine"):
+        np.testing.assert_allclose(np.asarray(culled_all[key]),
+                                   np.asarray(plain[key]), rtol=0, atol=1e-6)
+
+    culled_half = render_rays_fast(params, proxy, rays, cull=0.5, **common)
+    rgb = np.asarray(culled_half["rgb_fine"])
+    opac = np.asarray(culled_half["opacity_fine"])
+    is_bg = np.all(rgb == 1.0, axis=-1) & (opac == 0.0)
+    # half the rays are culled to background (plus any active ray whose
+    # field happens to be empty, which renders white either way)
+    assert is_bg.sum() >= TILE_R
+    # active rays match the plain render
+    rgb_plain = np.asarray(plain["rgb_fine"])
+    np.testing.assert_allclose(rgb[~is_bg], rgb_plain[~is_bg],
+                               rtol=0, atol=1e-6)
+
+
 def test_fused_fast_render_matches_jnp_fast_render(proxy):
     """End-to-end: render_rays_fast with packed_proxy vs the jnp pdf path."""
     cfg = NeRFConfig()

@@ -87,6 +87,9 @@ def main():
                          "reused with --reuse_scene to iterate on the sweep "
                          "without the ~30 min retrain")
     ap.add_argument("--reuse_scene", action="store_true")
+    ap.add_argument("--fused_only", action="store_true",
+                    help="skip the jnp-path sweep; measure only the fused "
+                         "proxy-march rows (incl. adaptive-K)")
     args = ap.parse_args()
 
     import jax
@@ -243,6 +246,8 @@ def main():
                             (64, 12), (64, 16), (64, 32), (96, 12), (96, 16),
                             (128, 16), (128, 32))]
     sweep += [("pdf", 32, 16), ("pdf", 64, 16)]  # record: pdf loses to topk
+    if args.fused_only:
+        sweep = []
     for sel, c, k in sweep:
         @jax.jit
         def fast_frame(tiles, sel=sel, c=c, k=k):
@@ -265,7 +270,69 @@ def main():
               f"agree {row['agreement_db_vs_exact']:6.2f} dB  "
               f"gt {row['psnr_vs_gt']:6.2f} dB", flush=True)
 
+    # ---- fused proxy-march sweep (ops/pallas/proxy_march.py), incl. the
+    # per-ray adaptive-K rows: every ray at K=n_keep, the `frac` most
+    # ambiguous re-rendered at k_hi (avg model evals/ray = K + frac*k_hi)
+    from nerf_siren_tpu.ops.pallas.proxy_march import pack_proxy_params
+    packed_proxy = pack_proxy_params(proxy)
+    fused_sweep = [
+        # (C, K, adaptive, cull)
+        (32, 8, None, None), (32, 16, None, None),
+        (32, 8, (0.0625, 32), None),   # avg 10
+        (32, 8, (0.125, 32), None),    # avg 12
+        (32, 8, (0.125, 48), None),    # avg 14
+        (32, 8, (0.25, 32), None),     # avg 16
+        (32, 8, (0.25, 48), None),     # avg 20
+        (32, 16, (0.125, 48), None),   # avg 22
+        (32, 16, (0.25, 64), None),    # avg 32
+        # empty-ray culling: K only on the `cull` most proxy-opaque rays
+        (32, 16, None, 0.35),          # avg 5.6
+        (32, 16, None, 0.45),          # avg 7.2
+        (32, 16, None, 0.55),          # avg 8.8
+        (32, 16, None, 0.65),          # avg 10.4
+        (32, 24, None, 0.45),          # avg 10.8
+        (32, 32, None, 0.45),          # avg 14.4
+    ]
+    results["fused_adaptive_configs"] = []
+    for c, k, adapt, cull in fused_sweep:
+        @jax.jit
+        def fused_frame(tiles, c=c, k=k, adapt=adapt, cull=cull):
+            def f(t):
+                return render_rays_fast(
+                    params, proxy, t, n_candidates=c, n_keep=k,
+                    nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
+                    select="pdf", packed_params=packed,
+                    packed_proxy=packed_proxy, adaptive=adapt,
+                    cull=cull)["rgb_fine"]
+            rgb = jax.lax.map(f, tiles)
+            return rgb, jnp.sum(rgb)
+
+        rgb, t = time_frames(fused_frame, tiles)
+        rate = H * W / t
+        avg_k = k + (adapt[0] * adapt[1] if adapt else 0)
+        if cull is not None:
+            avg_k = cull * k
+        row = {"select": "pdf+fused-march", "n_candidates": c, "n_keep": k,
+               "adaptive": list(adapt) if adapt else None,
+               "cull": cull, "avg_k": avg_k,
+               "rays_per_sec": rate,
+               "agreement_db_vs_exact": psnr(rgb, exact_rgb),
+               "psnr_vs_gt": psnr(rgb, gt800)}
+        results["fused_adaptive_configs"].append(row)
+        ad = (f"+{adapt[0]:.3f}x{adapt[1]}" if adapt
+              else f" cull={cull}" if cull is not None else "")
+        print(f"fused C={c:3d} K={k:3d}{ad:12s} (avg {avg_k:5.1f}): "
+              f"{rate/1e6:6.2f} M rays/s  "
+              f"agree {row['agreement_db_vs_exact']:6.2f} dB  "
+              f"gt {row['psnr_vs_gt']:6.2f} dB", flush=True)
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if args.fused_only and os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+        del results["configs"]      # keep the existing full jnp sweep
+        merged.update(results)
+        results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}", flush=True)
