@@ -105,7 +105,7 @@ def main():
     packed_proxy = pack_proxy_params(proxy)
     aabb = ([-1.3, -1.3, -1.3], [1.3, 1.3, 1.3])  # lego-scale occupied box
 
-    def time_fast(n_candidates, n_keep):
+    def time_fast(n_candidates, n_keep, cull=None):
         @jax.jit
         def fast_frame(params, proxy, tiles):
             def tile_fn(t):
@@ -114,7 +114,7 @@ def main():
                                        nerf_cfg=nerf_cfg, white_back=True,
                                        scene_aabb=aabb, select="pdf",
                                        packed_params=packed,
-                                       packed_proxy=packed_proxy)
+                                       packed_proxy=packed_proxy, cull=cull)
                 return out["rgb_fine"]
             return jnp.sum(jax.lax.map(tile_fn, tiles))
 
@@ -126,8 +126,9 @@ def main():
         fdt = time.perf_counter() - t0
         return n_rays_frame * n_iters / fdt / n_chips, fdt / n_iters
 
-    fast_hi_q, fast_hi_q_lat = time_fast(32, 16)   # 32.2dB agreement at convergence
-    fast_fast, fast_fast_lat = time_fast(32, 8)    # 29.8dB agreement at convergence
+    fast_hi_q, fast_hi_q_lat = time_fast(32, 16)   # 32.04dB agreement at convergence
+    fast_fast, fast_fast_lat = time_fast(32, 8)    # 29.7dB agreement at convergence
+    fast_cull, fast_cull_lat = time_fast(32, 16, cull=0.65)  # 32.04dB (frontier)
 
     # training-step time at the reference's headline recipe (batch 1024,
     # 64+128 samples; reference README reports 0.12 s/step on a 2080 Ti)
@@ -256,19 +257,25 @@ def main():
         "secondary": {
             "fast_path_conservative_rays_per_sec": round(fast_hi_q, 1),
             "fast_path_aggressive_rays_per_sec": round(fast_fast, 1),
+            "fast_path_culled_32db_rays_per_sec": round(fast_cull, 1),
             "fast_path_note": "proxy-culled renderer (render/fast.py): "
-                              "fused Pallas proxy-march kernel (march + "
-                              "pdf select in VMEM, ops/pallas/proxy_march"
-                              ".py) + fused Pallas model eval + phantom-"
-                              "suppressed proxy; conservative=32cand/"
-                              "keep16 (32.05dB agreement with the exact "
-                              "render on a converged 33dB scene), "
-                              "aggressive=32/8 (29.7dB) — full curve in "
-                              "BASELINE.md / docs/fast_frontier.json",
+                              "fused Pallas proxy-march kernel (rotation-"
+                              "recurrence march + pdf select in VMEM, "
+                              "ops/pallas/proxy_march.py) + fused Pallas "
+                              "model eval + phantom-suppressed proxy; "
+                              "conservative=32cand/keep16 (32.04dB "
+                              "agreement with the exact render on a "
+                              "converged scene), aggressive=32/8 "
+                              "(29.7dB), culled=32/16/cull0.65 "
+                              "(32.04dB, the >=5M @ >=32dB operating "
+                              "point: 5.88M measured on the frontier "
+                              "scene) — full curve in BASELINE.md / "
+                              "docs/fast_frontier.json",
             "exact_jnp_rays_per_sec": round(jnp_rays_per_sec, 1),
             "p50_full_frame_latency_s": round(dt / n_iters, 4),
             "fast_p50_frame_latency_conservative_s": round(fast_hi_q_lat, 4),
             "fast_p50_frame_latency_aggressive_s": round(fast_fast_lat, 4),
+            "fast_p50_frame_latency_culled_s": round(fast_cull_lat, 4),
             "train_step_s_batch1024_64c128f": round(train_step_s, 4),
             "train_step_note": "reference reports 0.12 s/step for the same "
                                "recipe on one RTX 2080 Ti (README.md:138-144)",

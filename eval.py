@@ -55,11 +55,17 @@ def get_opts(args=None):
                              "re-render the HI_FRACTION most ambiguous rays "
                              "at K_HI survivors (avg cost = fast_keep + "
                              "HI_FRACTION*K_HI)")
-    parser.add_argument('--fast_cull', type=float, default=None,
-                        help="empty-ray culling on the fused pdf path: run "
-                             "the field model only on this fraction of rays "
-                             "(the most proxy-opaque); must cover the "
-                             "frame's foreground fraction with headroom")
+    parser.add_argument('--fast_cull', type=str, default=None,
+                        help="empty-ray culling on the fused pdf path: a "
+                             "FRACTION (run the field model only on this "
+                             "fraction of rays per tile, the most "
+                             "proxy-opaque; must cover the frame's "
+                             "foreground with headroom) or 'auto' (size "
+                             "the budget per frame from the opacity "
+                             "prepass, frame-globally — the safe default)")
+    parser.add_argument('--fast_cull_margin', type=float, default=1.2,
+                        help="auto-cull budget headroom over the measured "
+                             "foreground ray count")
     return parser.parse_args(args)
 
 
@@ -140,31 +146,49 @@ def main(hparams):
                                  'model topology)')
             frac, k_hi = hparams.fast_adaptive
             fast_adaptive = (float(frac), int(k_hi))
-        if hparams.fast_cull is not None and fast_packed_proxy is None:
-            raise SystemExit('--fast_cull needs the fused pdf path '
-                             '(fast_select=pdf, even fast_keep, 8x256 '
-                             'model topology)')
+        fast_cull = None
+        if hparams.fast_cull is not None:
+            if fast_packed_proxy is None:
+                raise SystemExit('--fast_cull needs the fused pdf path '
+                                 '(fast_select=pdf, even fast_keep, 8x256 '
+                                 'model topology)')
+            fast_cull = (hparams.fast_cull if hparams.fast_cull == 'auto'
+                         else float(hparams.fast_cull))
 
-        @jax.jit
-        def render(params, rays):
-            n = rays.shape[0]
-            chunk = min(hparams.chunk, n)
-            n_tiles = -(-n // chunk)
-            tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
-            tiles = tiles.reshape(n_tiles, chunk, 8)
-            out = jax.lax.map(
-                lambda t: render_rays_fast(
-                    params, proxy, t,
-                    n_candidates=hparams.fast_candidates,
-                    n_keep=hparams.fast_keep, nerf_cfg=nerf_cfg,
-                    model=model_key, white_back=dataset.white_back,
-                    compute_dtype=compute_dtype, scene_aabb=aabb,
-                    select=hparams.fast_select, packed_params=fast_packed,
-                    packed_proxy=fast_packed_proxy, adaptive=fast_adaptive,
-                    cull=hparams.fast_cull),
-                tiles)
-            return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
-                    for k, v in out.items()}
+        if fast_cull == 'auto':
+            from nerf_siren_tpu.render.fast import make_auto_cull_renderer
+            auto_render = make_auto_cull_renderer(
+                params, proxy,
+                n_candidates=hparams.fast_candidates,
+                n_keep=hparams.fast_keep, nerf_cfg=nerf_cfg,
+                model=model_key, white_back=dataset.white_back,
+                compute_dtype=compute_dtype, scene_aabb=aabb,
+                packed_params=fast_packed, packed_proxy=fast_packed_proxy,
+                margin=hparams.fast_cull_margin)
+
+            def render(params, rays):
+                return auto_render(rays)
+        else:
+            @jax.jit
+            def render(params, rays):
+                n = rays.shape[0]
+                chunk = min(hparams.chunk, n)
+                n_tiles = -(-n // chunk)
+                tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
+                tiles = tiles.reshape(n_tiles, chunk, 8)
+                out = jax.lax.map(
+                    lambda t: render_rays_fast(
+                        params, proxy, t,
+                        n_candidates=hparams.fast_candidates,
+                        n_keep=hparams.fast_keep, nerf_cfg=nerf_cfg,
+                        model=model_key, white_back=dataset.white_back,
+                        compute_dtype=compute_dtype, scene_aabb=aabb,
+                        select=hparams.fast_select, packed_params=fast_packed,
+                        packed_proxy=fast_packed_proxy, adaptive=fast_adaptive,
+                        cull=fast_cull),
+                    tiles)
+                return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+                        for k, v in out.items()}
     elif hparams.renderer == 'fused' and render_cfg.test_time:
         from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
         from nerf_siren_tpu.render.fused import render_rays_fused

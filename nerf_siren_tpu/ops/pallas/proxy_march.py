@@ -47,7 +47,7 @@ from nerf_siren_tpu.ops.pallas.fused_mlp import (
 
 PROXY_FREQS = 5     # must match render/fast.py
 EMB_ROWS = 32       # 15 sin + 15 cos + 2 pad
-HID_ROWS = 128      # proxy hidden padded to one MXU row block
+HID_ROWS = 128      # proxy hidden cap (pack pads to 64 when hidden <= 64)
 TILE_R = 2048       # rays (lanes) per grid step
 
 
@@ -63,12 +63,16 @@ def pack_proxy_params(proxy: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     l1k = np.asarray(proxy["l1"]["kernel"], np.float32).T       # (H, 33)
     hid = l1k.shape[0]
     assert hid <= HID_ROWS, f"proxy hidden {hid} exceeds kernel cap {HID_ROWS}"
+    # pad the hidden dim to the smallest sublane block that fits: the
+    # (HID, T) relu/astype epilogue is the kernel's dominant VPU cost after
+    # the recurrence, so a 48-wide proxy should pay for 64 rows, not 128
+    hid_rows = 64 if hid <= 64 else HID_ROWS
     w1x, w1s = _split_embed_cols(l1k, PROXY_FREQS)              # (H,8),(H,32)
-    w1x = np.pad(w1x, ((0, HID_ROWS - hid), (0, 0)))
-    w1s = np.pad(w1s, ((0, HID_ROWS - hid), (0, 0)))
-    b1 = np.zeros((HID_ROWS, 1), np.float32)
+    w1x = np.pad(w1x, ((0, hid_rows - hid), (0, 0)))
+    w1s = np.pad(w1s, ((0, hid_rows - hid), (0, 0)))
+    b1 = np.zeros((hid_rows, 1), np.float32)
     b1[:hid, 0] = np.asarray(proxy["l1"]["bias"], np.float32)
-    w2 = np.zeros((8, HID_ROWS), np.float32)
+    w2 = np.zeros((8, hid_rows), np.float32)
     w2[0, :hid] = np.asarray(proxy["l2"]["kernel"], np.float32)[:, 0]
     b2 = np.zeros((8, 1), np.float32)
     b2[0, 0] = np.asarray(proxy["l2"]["bias"], np.float32)[0]
@@ -93,8 +97,26 @@ def _march_weights(C, x, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2):
     """The candidate march under the proxy, shared by both kernels.
 
     x: (8, T) f32 rays. Returns (w_rows, tr): C expected-compositing-weight
-    rows (1, T) and the final transmittance (1, T)."""
+    rows (1, T) and the final transmittance (1, T).
+
+    Two measured on-chip optimizations (docs/status.md; the ablation
+    profile put the naive march at 45 ns/ray, 58% of it in sin, while
+    the matmuls fully overlap — lane-grouping them was a measured wash):
+
+    1. ROTATION RECURRENCE for the embedding. The candidates are
+       uniformly spaced in z, and the emb rows are [sin th | cos th | 0]
+       of the same 15 phases th = A + B*z (fused_mlp._embed_matrices_t
+       layout), so th advances by the per-ray constant delta = B*spacing
+       each step: one sin for candidate 0 plus cos/sin of delta replace
+       C*32 sin evaluations with 6 mul/adds per phase per step. f32
+       drift over C=32 rotation steps is ~1e-6 — far below the bf16
+       matmul noise.
+    2. FOLDED EPILOGUE: pre = [W1s|W1x_o|W1x_d|b1] @ [emb; x; x*z; 1]
+       — the coordinate terms and bias ride the (overlapped) MXU instead
+       of three (HID, T) VPU adds per step."""
     bf = jnp.bfloat16
+    tile = x.shape[1]
+    n = 3 * PROXY_FREQS
     d = x[3:6]
     near, far = x[6:7], x[7:8]                        # (1, T)
     dirn = jnp.sqrt(d[0:1] ** 2 + d[1:2] ** 2 + d[2:3] ** 2)
@@ -102,20 +124,27 @@ def _march_weights(C, x, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2):
     dz = spacing * dirn
 
     xb = x.astype(bf)
-    # hoisted z-independent operands: emb_j = sin(A + B*z_j),
-    # l1(xyz_j) = l1o + l1d*z_j + W1s @ emb_j + b1
+    # emb_j = sin(A + B*z_j) with A = S@o + P, B = S_d@d
     a_op = _dot_f32(s_o[...], x) + p[...]             # (32, T) f32
     b_op = _dot_f32(s_d[...], x)                      # (32, T) f32
-    l1o = _dot(w1x_o[...], xb)                        # (128, T) f32
-    l1d = _dot(w1x_d[...], xb)                        # (128, T) f32
+    emb0 = jnp.sin(a_op + b_op * near)
+    sn, cs = emb0[0:n], emb0[n:2 * n]                 # (15, T) each
+    delta = b_op[0:n] * spacing
+    cd, sd = jnp.cos(delta), jnp.sin(delta)
+    zero_pad = jnp.zeros((EMB_ROWS - 2 * n, tile), jnp.float32)
+    ones = jnp.ones((1, tile), bf)
+    wstack = jnp.concatenate(
+        [w1s[...], w1x_o[...], w1x_d[...], b1[...].astype(bf)],
+        axis=1)                                       # (HID, 49) bf16
 
     tr = jnp.ones_like(near)
     w_rows = []
+    zj = near
     for j in range(C):
-        t = j / (C - 1)
-        zj = near * (1.0 - t) + far * t               # (1, T)
-        emb = jnp.sin(a_op + b_op * zj).astype(bf)
-        pre = _dot(w1s[...], emb) + l1o + l1d * zj + b1[...]
+        emb = jnp.concatenate([sn, cs, zero_pad], axis=0).astype(bf)
+        stacked = jnp.concatenate(
+            [emb, xb, (x * zj).astype(bf), ones], axis=0)   # (49, T)
+        pre = _dot(wstack, stacked)                   # (HID, T) f32
         h = jax.nn.relu(pre).astype(bf)
         score = (_dot(w2[...], h) + b2[...])[0:1]     # (1, T) f32
         # exp(x)-1, not expm1: Mosaic has no expm1 lowering (KernelType.TC);
@@ -124,6 +153,8 @@ def _march_weights(C, x, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2):
         a = 1.0 - jnp.exp(-sig * dz)
         w_rows.append(a * tr)
         tr = tr * (1.0 - a + 1e-10)
+        sn, cs = sn * cd + cs * sd, cs * cd - sn * sd
+        zj = zj + spacing
     return w_rows, tr
 
 

@@ -204,3 +204,46 @@ def test_fused_fast_render_matches_jnp_fast_render(proxy):
         scale = max(1.0, float(np.abs(a).max()))
         assert np.median(err) < 2e-3 * scale, (k, np.median(err))
         assert np.percentile(err, 99) < 0.05 * scale, (k, np.percentile(err, 99))
+
+
+def test_auto_cull_renderer(proxy):
+    """Frame-global auto culling with the temporal budget: the FIRST frame
+    always renders every ray (must equal the plain fused render exactly,
+    including on a ray count that is NOT a tile multiple); a huge margin
+    keeps later frames full too; an impossible opacity_eps makes the
+    second frame render only the minimum bucket, background elsewhere."""
+    from nerf_siren_tpu.render.fast import make_auto_cull_renderer
+
+    cfg = NeRFConfig()
+    params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+    packed_params = pack_model_params(params, cfg)
+    packed_proxy = pack_proxy_params(proxy)
+    r = 2 * TILE_R + 513                     # exercises the padding path
+    rays = _rays(r, seed=6)
+    common = dict(n_candidates=C, n_keep=K, nerf_cfg=cfg, white_back=True,
+                  packed_params=packed_params, packed_proxy=packed_proxy)
+
+    plain = render_rays_fast(params, proxy, rays, select="pdf", **common)
+    auto = make_auto_cull_renderer(params, proxy, margin=1e9, **common)
+    for frame in range(2):                   # first = full by construction,
+        out = auto(rays)                     # second = full via the margin
+        for key in ("rgb_fine", "depth_fine", "opacity_fine"):
+            assert out[key].shape == plain[key].shape
+            np.testing.assert_allclose(np.asarray(out[key]),
+                                       np.asarray(plain[key]),
+                                       rtol=0, atol=1e-6, err_msg=f"frame {frame}")
+
+    lean = make_auto_cull_renderer(params, proxy, opacity_eps=2.0, **common)
+    first = lean(rays)                       # full render, measures n_fg=0
+    np.testing.assert_allclose(np.asarray(first["rgb_fine"]),
+                               np.asarray(plain["rgb_fine"]), rtol=0, atol=1e-6)
+    out2 = lean(rays)                        # budget = minimum bucket
+    rgb = np.asarray(out2["rgb_fine"])
+    opac = np.asarray(out2["opacity_fine"])
+    is_bg = np.all(rgb == 1.0, axis=-1) & (opac == 0.0)
+    # budget = one quantum (rp/levels); everything else is background
+    assert is_bg.sum() >= r - (r // 8 + TILE_R)
+    # the rays it did render are the top-opacity ones and match plain
+    np.testing.assert_allclose(rgb[~is_bg],
+                               np.asarray(plain["rgb_fine"])[~is_bg],
+                               rtol=0, atol=1e-6)

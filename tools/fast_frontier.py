@@ -90,6 +90,9 @@ def main():
     ap.add_argument("--fused_only", action="store_true",
                     help="skip the jnp-path sweep; measure only the fused "
                          "proxy-march rows (incl. adaptive-K)")
+    ap.add_argument("--auto_only", action="store_true",
+                    help="measure only the frame-global auto-cull rows "
+                         "(implies --fused_only with an empty fused sweep)")
     args = ap.parse_args()
 
     import jax
@@ -246,7 +249,7 @@ def main():
                             (64, 12), (64, 16), (64, 32), (96, 12), (96, 16),
                             (128, 16), (128, 32))]
     sweep += [("pdf", 32, 16), ("pdf", 64, 16)]  # record: pdf loses to topk
-    if args.fused_only:
+    if args.fused_only or args.auto_only:
         sweep = []
     for sel, c, k in sweep:
         @jax.jit
@@ -293,6 +296,8 @@ def main():
         (32, 24, None, 0.45),          # avg 10.8
         (32, 32, None, 0.45),          # avg 14.4
     ]
+    if args.auto_only:
+        fused_sweep = []
     results["fused_adaptive_configs"] = []
     for c, k, adapt, cull in fused_sweep:
         @jax.jit
@@ -326,12 +331,40 @@ def main():
               f"agree {row['agreement_db_vs_exact']:6.2f} dB  "
               f"gt {row['psnr_vs_gt']:6.2f} dB", flush=True)
 
+    # ---- frame-global auto culling (render/fast.py::make_auto_cull_renderer)
+    # budget sized per frame from the opacity prepass — the safe cull mode
+    from nerf_siren_tpu.render.fast import make_auto_cull_renderer
+    results["auto_cull_configs"] = []
+    rays800_dev = jnp.asarray(rays800)      # device-resident, like `tiles`
+    for k, margin in ((16, 1.1), (16, 1.3), (8, 1.3)):
+        auto_render = make_auto_cull_renderer(
+            params, proxy, n_candidates=32, n_keep=k, nerf_cfg=nerf_cfg,
+            white_back=True, scene_aabb=aabb, packed_params=packed,
+            packed_proxy=packed_proxy, margin=margin)
+
+        def auto_frame(_):
+            out = auto_render(rays800_dev)["rgb_fine"]
+            return out, jnp.sum(out)
+
+        rgb, t = time_frames(auto_frame, None)
+        rate = H * W / t
+        row = {"select": "pdf+fused-march+auto-cull", "n_candidates": 32,
+               "n_keep": k, "margin": margin, "rays_per_sec": rate,
+               "agreement_db_vs_exact": psnr(rgb, exact_rgb),
+               "psnr_vs_gt": psnr(rgb, gt800)}
+        results["auto_cull_configs"].append(row)
+        print(f"auto  C= 32 K={k:3d} margin={margin:.2f}: "
+              f"{rate/1e6:6.2f} M rays/s  "
+              f"agree {row['agreement_db_vs_exact']:6.2f} dB  "
+              f"gt {row['psnr_vs_gt']:6.2f} dB", flush=True)
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    if args.fused_only and os.path.exists(args.out):
+    if (args.fused_only or args.auto_only) and os.path.exists(args.out):
         with open(args.out) as f:
             merged = json.load(f)
-        del results["configs"]      # keep the existing full jnp sweep
-        merged.update(results)
+        # keep every existing sweep this run skipped
+        merged.update({k: v for k, v in results.items()
+                       if not (isinstance(v, list) and not v)})
         results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
