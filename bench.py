@@ -241,7 +241,9 @@ def main():
     float(m["train/loss"])
     eg3d_step_s = (time.perf_counter() - t0) / 20
 
-    eg3d_params = jax.device_get(e_state.params)
+    # device-resident params: a render loop uploads weights once, not per
+    # frame (host-resident params cost ~2 s/frame in H2D over the tunnel)
+    eg3d_params = e_state.params
     for _ in range(4):  # warm the render program past runtime re-optimization
         out = eg3d_system.render(eg3d_params, eg3d_rays)
     t0 = time.perf_counter()

@@ -70,6 +70,9 @@ def main(hparams):
     params = system.init_params(jax.random.PRNGKey(0))
     params['eg3d_renderer'] = load_ckpt(params['eg3d_renderer'],
                                         hparams.ckpt_path, 'eg3d_renderer')
+    # upload once: host-resident params would re-transfer the whole
+    # generator to the device on every render() call
+    params = jax.device_put(params)
 
     out_dir = os.path.join('results', hparams.dataset_name, hparams.scene_name)
     os.makedirs(out_dir, exist_ok=True)

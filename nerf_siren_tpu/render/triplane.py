@@ -42,7 +42,9 @@ from nerf_siren_tpu.models.stylegan2 import (
     init_generator,
     mapping_pre_broadcast,
 )
-from nerf_siren_tpu.ops.grid_sample import grid_sample_2d
+from nerf_siren_tpu.ops.grid_sample import (grid_sample_2d,
+                                            grid_sample_2d_packed,
+                                            pack_grid_for_block_sample)
 from nerf_siren_tpu.ops.sample_pdf import sample_pdf
 
 
@@ -108,6 +110,31 @@ def sample_from_planes(plane_features: jax.Array, coordinates: jax.Array,
     return out.reshape(n, n_planes, m, c)
 
 
+def pack_planes_for_sampling(plane_features: jax.Array,
+                             dtype=jnp.bfloat16) -> jax.Array:
+    """(N, 3, C, H, W) → (N, 3, H+2, W+2, C) block-gather sampling table.
+
+    One-time per synthesized frame; pairs with sample_from_packed_planes.
+    A bf16 table is the measured fast path (1.64x the element gather on
+    v5e, see ops/grid_sample.py); an f32 table reproduces
+    sample_from_planes bitwise."""
+    n, n_planes, c, h, w = plane_features.shape
+    packed = pack_grid_for_block_sample(
+        plane_features.reshape(n * n_planes, c, h, w), dtype)
+    return packed.reshape(n, n_planes, h + 2, w + 2, c)
+
+
+def sample_from_packed_planes(packed: jax.Array, coordinates: jax.Array,
+                              box_warp: float) -> jax.Array:
+    """sample_from_planes on a pack_planes_for_sampling table."""
+    n, n_planes, hp, wp, c = packed.shape
+    m = coordinates.shape[1]
+    coords = (2.0 / box_warp) * coordinates
+    proj = project_onto_planes(coords)                            # (N*3, M, 2)
+    out = grid_sample_2d_packed(packed.reshape(n * n_planes, hp, wp, c), proj)
+    return out.reshape(n, n_planes, m, c)
+
+
 # -- OSGDecoder (reference: triplane.py:144-167) -------------------------------
 
 def init_osg_decoder(key, n_features: int = 32, hidden: int = 64,
@@ -131,27 +158,36 @@ def apply_osg_decoder(params, sampled_features: jax.Array) -> Dict[str, jax.Arra
 def mip_ray_march(colors: jax.Array, densities: jax.Array, depths: jax.Array,
                   white_back: bool = False):
     """colors (N, R, S, C), densities (N, R, S, 1), depths (N, R, S, 1).
-    Returns (rgb (N, R, C), depth (N, R, 1), weights (N, R, S-1, 1))."""
-    deltas = depths[:, :, 1:] - depths[:, :, :-1]
+    Returns (rgb (N, R, C), depth (N, R, 1), weights (N, R, S-1, 1)).
+
+    Scalar-per-sample math runs on (N, R, S) with the trailing unit dim
+    squeezed: a trailing 1 tiles to 128 lanes on TPU, so every op on the
+    (N, R, S, 1) layout would move 128x the bytes (the round-1 narrow-
+    layout tax). Arithmetic identical to the reference formulation."""
+    d = depths[..., 0]                                            # (N, R, S)
+    deltas = d[:, :, 1:] - d[:, :, :-1]
     colors_mid = 0.5 * (colors[:, :, :-1] + colors[:, :, 1:])
-    densities_mid = 0.5 * (densities[:, :, :-1] + densities[:, :, 1:])
-    depths_mid = 0.5 * (depths[:, :, :-1] + depths[:, :, 1:])
+    densities_mid = 0.5 * (densities[..., 0][:, :, :-1]
+                           + densities[..., 0][:, :, 1:])
+    depths_mid = 0.5 * (d[:, :, :-1] + d[:, :, 1:])
 
     densities_mid = jax.nn.softplus(densities_mid - 1.0)          # init bias
-    alpha = 1.0 - jnp.exp(-densities_mid * deltas)
+    alpha = 1.0 - jnp.exp(-densities_mid * deltas)                # (N, R, S-1)
 
-    shifted = jnp.concatenate([jnp.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], axis=-2)
-    weights = alpha * jnp.cumprod(shifted, axis=-2)[:, :, :-1]
+    shifted = jnp.concatenate([jnp.ones_like(alpha[:, :, :1]),
+                               1 - alpha + 1e-10], axis=-1)
+    weights = alpha * jnp.cumprod(shifted, axis=-1)[:, :, :-1]
 
-    composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
-    weight_total = jnp.sum(weights, axis=2)
-    composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
+    composite_rgb = jnp.sum(weights[..., None] * colors_mid, axis=-2)
+    weight_total = jnp.sum(weights, axis=-1, keepdims=True)       # (N, R, 1)
+    composite_depth = jnp.sum(weights * depths_mid, axis=-1,
+                              keepdims=True) / weight_total
     composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)
     composite_depth = jnp.clip(composite_depth, jnp.min(depths), jnp.max(depths))
 
     if white_back:
         composite_rgb = composite_rgb + 1 - weight_total
-    return composite_rgb, composite_depth, weights
+    return composite_rgb, composite_depth, weights[..., None]
 
 
 # -- ImportanceRenderer (reference: renderer.py:82-256) ------------------------
@@ -215,22 +251,28 @@ def sample_importance(z_vals: jax.Array, weights: jax.Array, n_importance: int,
 
 
 def unify_samples(d1, c1, s1, d2, c2, s2):
-    """Depth-sorted union of two sample sets (reference renderer.py:149-170)."""
-    depths = jnp.concatenate([d1, d2], axis=-2)
-    colors = jnp.concatenate([c1, c2], axis=-2)
-    sigmas = jnp.concatenate([s1, s2], axis=-2)
-    idx = jnp.argsort(depths, axis=-2)                           # (N, R, S, 1)
-    depths = jnp.take_along_axis(depths, idx, axis=-2)
-    sigmas = jnp.take_along_axis(sigmas, idx, axis=-2)
-    idx_c = jnp.broadcast_to(idx, (*idx.shape[:-1], colors.shape[-1]))
-    colors = jnp.take_along_axis(colors, idx_c, axis=-2)
-    return depths, colors, sigmas
+    """Depth-sorted union of two sample sets (reference renderer.py:149-170).
+
+    One multi-operand stable lax.sort keyed on depth carries sigma and each
+    color channel along — no argsort + take_along_axis gathers (TPU-hostile
+    on (N, R, S, 1) layouts), and the sort runs along the minor (lane)
+    dimension. Value-identical to the gather formulation (stable ties)."""
+    depths = jnp.concatenate([d1, d2], axis=-2)[..., 0]          # (N, R, S)
+    sigmas = jnp.concatenate([s1, s2], axis=-2)[..., 0]
+    colors = jnp.concatenate([c1, c2], axis=-2)                  # (N, R, S, C)
+    ops = (depths, sigmas) + tuple(colors[..., i]
+                                   for i in range(colors.shape[-1]))
+    out = jax.lax.sort(ops, dimension=-1, is_stable=True, num_keys=1)
+    return (out[0][..., None], jnp.stack(out[2:], axis=-1),
+            out[1][..., None])
 
 
 def run_model(planes, decoder_params, sample_coordinates, options: RenderingOptions,
-              density_noise_rng=None):
-    """(reference renderer.py:144-150)."""
-    feats = sample_from_planes(planes, sample_coordinates, options.box_warp)
+              density_noise_rng=None, packed: bool = False):
+    """(reference renderer.py:144-150). packed=True means `planes` is a
+    pack_planes_for_sampling table (the measured-faster gather layout)."""
+    sample = sample_from_packed_planes if packed else sample_from_planes
+    feats = sample(planes, sample_coordinates, options.box_warp)
     out = apply_osg_decoder(decoder_params, feats)
     if options.density_noise > 0 and density_noise_rng is not None:
         out["sigma"] = out["sigma"] + jax.random.normal(
@@ -239,10 +281,12 @@ def run_model(planes, decoder_params, sample_coordinates, options: RenderingOpti
 
 
 def importance_render(planes, decoder_params, ray_origins, ray_directions,
-                      options: RenderingOptions, rng=None):
+                      options: RenderingOptions, rng=None,
+                      packed: bool = False):
     """Full coarse+fine triplane render (reference renderer.py:88-142).
 
-    planes (N, 3, C, H, W); rays (N, R, 3). Returns the 6-tuple
+    planes (N, 3, C, H, W) — or a pack_planes_for_sampling table when
+    packed=True; rays (N, R, 3). Returns the 6-tuple
     (rgb_coarse, depth_coarse, opacity_coarse, rgb_fine, depth_fine,
     opacity_fine) with opacities summed over samples."""
     if rng is not None:
@@ -269,7 +313,8 @@ def importance_render(planes, decoder_params, ray_origins, ray_directions,
     n, r, s, _ = depths_coarse.shape
     coords = (ray_origins[:, :, None, :] +
               depths_coarse * ray_directions[:, :, None, :]).reshape(n, -1, 3)
-    out = run_model(planes, decoder_params, coords, options, k_noise1)
+    out = run_model(planes, decoder_params, coords, options, k_noise1,
+                    packed=packed)
     colors_coarse = out["rgb"].reshape(n, r, s, -1)
     densities_coarse = out["sigma"].reshape(n, r, s, 1)
 
@@ -280,7 +325,8 @@ def importance_render(planes, decoder_params, ray_origins, ray_directions,
     depths_fine = sample_importance(depths_coarse, weights_coarse, n_imp, k_pdf)
     coords = (ray_origins[:, :, None, :] +
               depths_fine * ray_directions[:, :, None, :]).reshape(n, -1, 3)
-    out = run_model(planes, decoder_params, coords, options, k_noise2)
+    out = run_model(planes, decoder_params, coords, options, k_noise2,
+                    packed=packed)
     colors_fine = out["rgb"].reshape(n, r, n_imp, -1)
     densities_fine = out["sigma"].reshape(n, r, n_imp, 1)
 

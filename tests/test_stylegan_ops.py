@@ -124,3 +124,28 @@ def test_bias_act_lrelu_gain_clamp(rng):
         F.leaky_relu(torch.tensor(x) + torch.tensor(b), 0.2) * np.sqrt(2),
         -1.5, 1.5).numpy()
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_sample_2d_packed_matches_unpacked(rng):
+    """The block-gather formulation (one (2,2,C) CLIP gather per point on a
+    zero-bordered channel-last table) must reproduce grid_sample_2d exactly
+    for an f32 table — including coords beyond the 1-texel band, where the
+    whole-point mask supplies the zeros-padding answer."""
+    from nerf_siren_tpu.ops.grid_sample import (grid_sample_2d_packed,
+                                                pack_grid_for_block_sample)
+    feats = rng.standard_normal((3, 8, 5, 7)).astype(np.float32)
+    coords = np.concatenate([
+        rng.uniform(-1.3, 1.3, (3, 40, 2)),      # in-band + 1-texel border
+        rng.uniform(-4.0, 4.0, (3, 24, 2)),      # far out of band
+        np.broadcast_to([[[-1.0, 1.0]]], (3, 1, 2)),   # exact corners
+        np.broadcast_to([[[1.0, -1.0]]], (3, 1, 2)),
+    ], axis=1).astype(np.float32)
+    ref = np.asarray(grid_sample_2d(jnp.asarray(feats), jnp.asarray(coords)))
+    table = pack_grid_for_block_sample(jnp.asarray(feats), jnp.float32)
+    got = np.asarray(grid_sample_2d_packed(table, jnp.asarray(coords)))
+    np.testing.assert_array_equal(got, ref)
+
+    # bf16 table: same values up to table rounding
+    table16 = pack_grid_for_block_sample(jnp.asarray(feats), jnp.bfloat16)
+    got16 = np.asarray(grid_sample_2d_packed(table16, jnp.asarray(coords)))
+    np.testing.assert_allclose(got16, ref, rtol=0, atol=2e-2)

@@ -240,3 +240,35 @@ def test_w_avg_ema_updates_during_training(rng):
                                jnp.asarray(rays[None, :8, 3:6]))
     assert not np.allclose(np.asarray(out_t["rgb_fine"][0]),
                            np.asarray(full), atol=1e-5)
+
+
+def test_importance_render_packed_matches_unpacked(rng):
+    """packed=True with an f32 pack_planes_for_sampling table is the same
+    render bitwise; a bf16 table agrees to table-rounding precision."""
+    from nerf_siren_tpu.render.triplane import (pack_planes_for_sampling,
+                                                sample_from_packed_planes)
+    planes = jnp.asarray(rng.standard_normal((1, 3, 4, 8, 8)).astype(np.float32))
+    dec = init_osg_decoder(jax.random.PRNGKey(0), n_features=4, hidden=8)
+    o = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 6, 3)).astype(np.float32))
+    d = rng.standard_normal((1, 6, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    opt = RenderingOptions(depth_resolution=12, depth_resolution_importance=8,
+                           ray_start=0.5, ray_end=4.0, box_warp=4.0)
+
+    base = importance_render(planes, dec, o, d, opt, None)
+    packed32 = pack_planes_for_sampling(planes, jnp.float32)
+    got32 = importance_render(packed32, dec, o, d, opt, None, packed=True)
+    for a, b in zip(base, got32):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    packed16 = pack_planes_for_sampling(planes, jnp.bfloat16)
+    got16 = importance_render(packed16, dec, o, d, opt, None, packed=True)
+    for a, b in zip(base, got16):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=3e-2)
+
+    # the raw sampling table too: f32 exact
+    coords = jnp.asarray(rng.uniform(-1.5, 1.5, (1, 30, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(sample_from_planes(planes, coords, 4.0)),
+        np.asarray(sample_from_packed_planes(packed32, coords, 4.0)))
