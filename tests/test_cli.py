@@ -237,6 +237,39 @@ def test_eval_cli_fast_renderer(workdir, scene_root):
         os.chdir(cwd)
 
 
+def test_eval_cli_fast_auto_cull(workdir, scene_root):
+    """--fast_cull auto: frame-global empty-ray culling on the fused path.
+
+    The auto renderer partitions each frame's rays by proxy AABB hit length,
+    renders the non-empty partition through the fused kernel, and reassembles
+    — output must stay a finite full-frame PSNR with the usual PNGs."""
+    wd, _ = workdir
+    ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "smoke", "*.msgpack")))[-1]
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from eval import get_opts as eval_opts, main as eval_main
+        mean_psnr = eval_main(eval_opts([
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--split", "test",
+            "--img_wh", "40", "40",
+            "--N_samples", "24", "--N_importance", "8",
+            "--ckpt_path", ckpt,
+            "--scene_name", "sphere_autocull",
+            "--renderer", "fast",
+            "--fast_candidates", "24", "--fast_keep", "8",
+            "--fast_distill_steps", "20", "--fast_distill_batch", "2048",
+            "--fast_cull", "auto",
+            "--compute_dtype", "float32",
+        ]))
+        assert mean_psnr is not None and np.isfinite(mean_psnr)
+        pngs = glob.glob(os.path.join(wd, "results", "blender", "sphere_autocull", "*.png"))
+        assert len(pngs) == 2
+    finally:
+        os.chdir(cwd)
+
+
 def test_eval_cli_llff_spiral_no_gt(tmp_path_factory):
     """LLFF test split renders a spiral path with no ground truth: eval
     must write frames and return None for PSNR."""
