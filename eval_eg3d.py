@@ -33,6 +33,16 @@ def get_opts(args=None):
     parser.add_argument('--eg3d_ray_start', type=float, default=0.1)
     parser.add_argument('--eg3d_ray_end', type=float, default=10.0)
     parser.add_argument('--eg3d_box_warp', type=float, default=15.0)
+    parser.add_argument('--renderer', type=str, default='exact',
+                        choices=['exact', 'fast'],
+                        help='fast: proxy-culled K-sample renderer '
+                             '(render/triplane_fast.py) — distills a density '
+                             'proxy once per scene, then gathers plane '
+                             'features only at K proxy-placed samples/ray')
+    parser.add_argument('--fast_candidates', type=int, default=32)
+    parser.add_argument('--fast_keep', type=int, default=16)
+    parser.add_argument('--fast_distill_steps', type=int, default=500)
+    parser.add_argument('--fast_distill_batch', type=int, default=32768)
     return parser.parse_args(args)
 
 
@@ -77,10 +87,34 @@ def main(hparams):
     out_dir = os.path.join('results', hparams.dataset_name, hparams.scene_name)
     os.makedirs(out_dir, exist_ok=True)
 
+    if hparams.renderer == 'fast':
+        from nerf_siren_tpu.render.triplane_fast import make_fast_eg3d_renderer
+        print('distilling density proxy ...', flush=True)
+        fast_render = make_fast_eg3d_renderer(
+            params['eg3d_renderer'], tri_cfg,
+            n_candidates=hparams.fast_candidates, n_keep=hparams.fast_keep,
+            distill_steps=hparams.fast_distill_steps,
+            distill_batch=hparams.fast_distill_batch,
+            rng=jax.random.PRNGKey(7))
+
+        def render(params, rays):
+            # equal-size chunks so the jitted renderer traces once
+            n = rays.shape[0]
+            chunk = min(hparams.chunk, n)
+            n_tiles = -(-n // chunk)
+            padded = np.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
+            outs = [fast_render(jnp.asarray(padded[j * chunk:(j + 1) * chunk]))
+                    for j in range(n_tiles)]
+            return {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
+                    for k in outs[0]}
+    else:
+        def render(params, rays):
+            return system.render(params, rays, chunk=hparams.chunk)
+
     imgs, psnrs = [], []
     for i in range(len(dataset)):
         sample = dataset[i]
-        out = system.render(params, np.asarray(sample['rays']), chunk=hparams.chunk)
+        out = render(params, np.asarray(sample['rays']))
         pred = np.asarray(out['rgb_fine'], np.float32).reshape(h, w, 3)
         img = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
         imgs.append(img)

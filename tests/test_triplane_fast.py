@@ -1,0 +1,88 @@
+"""EG3D proxy-culled fast renderer: contract + agreement with the exact path.
+
+The fast path (render/triplane_fast.py) reuses the NeRF fast machinery
+(proxy distillation + the fused Pallas march/select kernel) but gathers
+plane features + decodes only at the K survivors. On CPU the kernel runs
+interpreted; quality numbers are measured on-chip, so these tests pin the
+plumbing: output contract, box-missing rays, and broad agreement with
+eg3d_render on a smooth random-init scene.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_siren_tpu.render.triplane import (
+    RenderingOptions,
+    TriPlaneConfig,
+    eg3d_render,
+    init_eg3d_renderer,
+)
+from nerf_siren_tpu.render.triplane_fast import make_fast_eg3d_renderer
+
+CFG = TriPlaneConfig(
+    z_dim=32, w_dim=32, plane_resolution=16, plane_channels=8,
+    mapping_layers=2, channel_base=512, channel_max=32,
+    rendering=RenderingOptions(depth_resolution=24,
+                               depth_resolution_importance=16,
+                               ray_start="auto", ray_end=10.0, box_warp=4.0))
+
+
+def _camera_rays(n_side: int, n_miss: int = 8):
+    """n_side^2 rays from z=-4 through the box, plus n_miss that miss it."""
+    lin = np.linspace(-0.35, 0.35, n_side, dtype=np.float32)
+    dx, dy = np.meshgrid(lin, lin)
+    d = np.stack([dx.ravel(), dy.ravel(), np.ones(n_side * n_side, np.float32)],
+                 axis=1)
+    o = np.zeros_like(d)
+    o[:, 2] = -4.0
+    miss_d = np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (n_miss, 1))
+    miss_o = np.tile(np.asarray([[0.0, 10.0, -4.0]], np.float32), (n_miss, 1))
+    return np.concatenate([np.concatenate([o, d], 1),
+                           np.concatenate([miss_o, miss_d], 1)])
+
+
+@pytest.fixture(scope="module")
+def scene():
+    params = init_eg3d_renderer(jax.random.PRNGKey(3), CFG)
+    render_fast = make_fast_eg3d_renderer(
+        params, CFG, n_candidates=16, n_keep=8,
+        distill_steps=80, distill_batch=4096,
+        rng=jax.random.PRNGKey(7), table_dtype=jnp.float32)
+    return params, render_fast
+
+
+def test_fast_eg3d_contract_and_miss_rays(scene):
+    params, render_fast = scene
+    rays = _camera_rays(16, n_miss=8)
+    out = render_fast(jnp.asarray(rays))
+    r = rays.shape[0]
+    assert out["rgb_fine"].shape == (r, 3)
+    assert out["depth_fine"].shape == (r,)
+    assert out["opacity_fine"].shape == (r,)
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+    # rays that miss the box composite nothing
+    np.testing.assert_allclose(np.asarray(out["opacity_fine"][-8:]), 0.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["rgb_fine"][-8:]), 0.0, atol=1e-5)
+
+
+def test_fast_eg3d_agrees_with_exact(scene):
+    params, render_fast = scene
+    rays = _camera_rays(16, n_miss=0)
+    fast = render_fast(jnp.asarray(rays))
+    exact = eg3d_render(params, CFG, jnp.asarray(rays[:, 0:3]),
+                        jnp.asarray(rays[:, 3:6]))
+    a = np.asarray(fast["rgb_fine"], np.float32)
+    b = np.asarray(exact["rgb_fine"], np.float32)
+    mse = float(np.mean((a - b) ** 2))
+    agreement_db = -10.0 * np.log10(max(mse, 1e-12))
+    # smooth random-init scene: K=8 proxy-placed samples should land within
+    # a few dB of the 24+16 exact render; this is a plumbing bar, not a
+    # quality benchmark (that is measured on-chip on a trained scene)
+    assert agreement_db > 22.0, f"agreement {agreement_db:.1f} dB"
+    # opacities track (fog scene: all interior rays see similar mass)
+    oa = np.asarray(fast["opacity_fine"]).ravel()
+    ob = np.asarray(exact["opacity_fine"]).ravel()
+    assert np.corrcoef(oa, ob)[0, 1] > 0.5 or np.allclose(oa, ob, atol=0.05)
