@@ -251,6 +251,25 @@ def main():
     float(np.sum(out["rgb_fine"][:8]))
     eg3d_rays_per_sec = 65536 / (time.perf_counter() - t0) / n_chips
 
+    # EG3D proxy-culled fast renderer (render/triplane_fast.py): K plane
+    # samples/ray instead of 64+64. Throughput only — agreement quality is
+    # measured on a TRAINED scene (docs/status.md: 30.0 dB @ K=16 vs the
+    # exact render); this bench scene is 45-step random-ish density.
+    from nerf_siren_tpu.render.triplane_fast import make_fast_eg3d_renderer
+    eg3d_fast = make_fast_eg3d_renderer(
+        eg3d_params["eg3d_renderer"], eg3d_system.cfg,
+        n_candidates=32, n_keep=16, distill_steps=150,
+        rng=jax.random.PRNGKey(11))
+    eg3d_rays_j = jnp.asarray(eg3d_rays)
+    for _ in range(25):  # past the tunneled runtime's re-optimization phase
+        out = eg3d_fast(eg3d_rays_j)
+        float(jnp.sum(out["rgb_fine"][:4]))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = eg3d_fast(eg3d_rays_j)
+        float(jnp.sum(out["rgb_fine"][:4]))
+    eg3d_fast_rays_per_sec = 3 * 65536 / (time.perf_counter() - t0) / n_chips
+
     print(json.dumps({
         "metric": "rays_per_sec_per_chip_lego800_coarse_fine",
         "value": round(value, 1),
@@ -286,6 +305,7 @@ def main():
             "cfg4_semantic_pointnet_step_s_batch4096_cap8192": round(sem_step_s, 4),
             "cfg5_eg3d_train_step_s_batch1024_256sq_planes": round(eg3d_step_s, 4),
             "cfg5_eg3d_render_rays_per_sec": round(eg3d_rays_per_sec, 1),
+            "cfg5_eg3d_fast_render_rays_per_sec": round(eg3d_fast_rays_per_sec, 1),
         },
     }))
 

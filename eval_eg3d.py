@@ -43,6 +43,13 @@ def get_opts(args=None):
     parser.add_argument('--fast_keep', type=int, default=16)
     parser.add_argument('--fast_distill_steps', type=int, default=500)
     parser.add_argument('--fast_distill_batch', type=int, default=32768)
+    parser.add_argument('--fast_cull', type=str, default=None,
+                        choices=['auto'],
+                        help='auto: frame-global empty-ray culling — render '
+                             'only proxy-occupied rays, budget sized from '
+                             'the previous frame (renders the whole frame '
+                             'as one program; --chunk is ignored)')
+    parser.add_argument('--fast_cull_margin', type=float, default=1.2)
     return parser.parse_args(args)
 
 
@@ -95,18 +102,25 @@ def main(hparams):
             n_candidates=hparams.fast_candidates, n_keep=hparams.fast_keep,
             distill_steps=hparams.fast_distill_steps,
             distill_batch=hparams.fast_distill_batch,
+            cull=hparams.fast_cull, cull_margin=hparams.fast_cull_margin,
             rng=jax.random.PRNGKey(7))
 
-        def render(params, rays):
-            # equal-size chunks so the jitted renderer traces once
-            n = rays.shape[0]
-            chunk = min(hparams.chunk, n)
-            n_tiles = -(-n // chunk)
-            padded = np.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
-            outs = [fast_render(jnp.asarray(padded[j * chunk:(j + 1) * chunk]))
-                    for j in range(n_tiles)]
-            return {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
-                    for k in outs[0]}
+        if hparams.fast_cull == 'auto':
+            def render(params, rays):
+                # frame-global: the culling budget ranks the whole frame
+                return {k: np.asarray(v)
+                        for k, v in fast_render(jnp.asarray(rays)).items()}
+        else:
+            def render(params, rays):
+                # equal-size chunks so the jitted renderer traces once
+                n = rays.shape[0]
+                chunk = min(hparams.chunk, n)
+                n_tiles = -(-n // chunk)
+                padded = np.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
+                outs = [fast_render(jnp.asarray(padded[j * chunk:(j + 1) * chunk]))
+                        for j in range(n_tiles)]
+                return {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
+                        for k in outs[0]}
     else:
         def render(params, rays):
             return system.render(params, rays, chunk=hparams.chunk)

@@ -9,7 +9,11 @@ ops/pallas/proxy_march.py): distill the synthesized scene's density field
 into a tiny proxy MLP once per latent, let the fused Pallas march kernel
 score C uniform candidates and place K samples by deterministic inverse-CDF
 (pure MXU math, no gathers), then run the plane gather + OSG decoder only at
-the K survivors — 128 → K plane samples per ray.
+the K survivors — 128 → K plane samples per ray. With cull="auto" the
+frame additionally drops proxy-empty rays before the gather (the temporal
+frame-global budget scheme of render/fast.py::make_auto_cull_renderer:
+prepass + sort + render + sort-based reassembly in ONE compiled program,
+budget sized from the previous frame's foreground count).
 
 Reference context: eval-time rendering of eg3d_renderer.py scenes
 (reference eval_eg3d.py:22-135); speed is the fork's headline feature
@@ -22,11 +26,15 @@ fast composite applies. Compositing uses sample-aligned quadrature
 (consecutive z differences in DEPTH units, no direction-norm scaling —
 matching mip_ray_march's convention, unlike the NeRF path's world-unit
 deltas) over the K selected samples.
+
+Measured on-chip (v5e, 256^2-plane reference config, trained sphere scene,
+65536-ray frame, C=32): exact 74K rays/s; K=16 655K rays/s @ 30.0 dB
+agreement with the exact render (-0.3 dB vs GT); K=8 939K @ 26.2 dB.
 """
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,15 +75,29 @@ def make_fast_eg3d_renderer(
     distill_batch: int = 32768,
     rng: Optional[jax.Array] = None,
     table_dtype=jnp.bfloat16,
-):
+    cull: Optional[str] = None,
+    cull_margin: float = 1.2,
+    opacity_eps: float = 0.01,
+    levels: int = 8,
+    proxy: Optional[Dict[str, Any]] = None,
+) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Build a proxy-culled renderer for ONE synthesized scene.
 
     params: the eg3d_renderer pytree (backbone + decoder + learnable z).
     Synthesizes the triplanes once, distills the proxy, and returns
     `render(rays) -> {rgb_fine, depth_fine, opacity_fine}` for (R, >=6)
     rays [o, d, ...]; per-ray [near, far] come from the analytic box
-    intersection (get_ray_limits_box), not the rays' own columns, so the
-    candidate budget is spent inside the volume.
+    intersection (get_ray_limits_box) clipped to numeric
+    [ray_start, ray_end], so the candidate budget is spent inside the
+    volume.
+
+    cull="auto" enables frame-global empty-ray culling: each frame runs as
+    one compiled program (proxy-opacity prepass + argsort + render of the
+    top-budget rays + multi-operand-sort reassembly) whose ray budget is
+    sized from the PREVIOUS frame's foreground count — the same temporal
+    scheme, rationale, and measured trade-offs as
+    render/fast.py::make_auto_cull_renderer (first frame renders all rays;
+    `cull_margin` absorbs pose-to-pose drift).
     """
     p = params["eg3d_renderer"] if "eg3d_renderer" in params else params
     opts = cfg.rendering
@@ -90,27 +112,32 @@ def make_fast_eg3d_renderer(
     planes = _synth(p)
     packed_planes = pack_planes_for_sampling(planes, table_dtype)
 
-    half = 0.5 * opts.box_warp
-    proxy = distill_proxy(
-        triplane_sigma_fn(planes, p["decoder"], opts.box_warp),
-        [-half] * 3, [half] * 3, rng,
-        steps=distill_steps, batch=distill_batch)
+    if proxy is None:
+        # proxy depends only on the scene, not (C, K, cull) — pass a
+        # pre-distilled one when building several operating points
+        half = 0.5 * opts.box_warp
+        proxy = distill_proxy(
+            triplane_sigma_fn(planes, p["decoder"], opts.box_warp),
+            [-half] * 3, [half] * 3, rng,
+            steps=distill_steps, batch=distill_batch)
     packed_proxy = proxy_march.pack_proxy_params(proxy)
 
     tile = proxy_march.TILE_R
     C, K = n_candidates, n_keep
     decoder = p["decoder"]
     white_back = opts.white_back
+    bg = 1.0 if white_back else 0.0
 
-    @jax.jit
-    def render(rays: jax.Array) -> Dict[str, jax.Array]:
+    def prep_rays8(rays: jax.Array, rp: int) -> jax.Array:
+        """(R, >=6) rays → (Rp, 8) [o, d, near, far], padded to rp rows.
+
+        Per-ray candidate interval: the box intersection, clipped to the
+        configured [ray_start, ray_end] when those are numeric (a camera
+        inside the box would otherwise get negative near — samples behind
+        the eye the exact renderer never takes). Rays that miss collapse
+        to a zero-length interval at a safe depth → zero opacity."""
         r = rays.shape[0]
         o, d = rays[:, 0:3], rays[:, 3:6]
-        # per-ray candidate interval: the box intersection, clipped to the
-        # configured [ray_start, ray_end] when those are numeric (a camera
-        # inside the box would otherwise get negative near — samples behind
-        # the eye the exact renderer never takes). Rays that miss collapse
-        # to a zero-length interval at a safe depth → zero opacity.
         start, end = get_ray_limits_box(o[None], d[None], opts.box_warp)
         start, end = start[0, :, 0], end[0, :, 0]                 # (R,)
         if not isinstance(opts.ray_start, str):
@@ -123,41 +150,101 @@ def make_fast_eg3d_renderer(
         safe = jnp.where(jnp.isfinite(safe), safe, 0.0)
         near = jnp.where(valid, start, safe)[:, None]
         far = jnp.where(valid, end, safe)[:, None]
-
         rays8 = jnp.concatenate([o, d, near, far], axis=1)        # (R, 8)
-        pad_r = -r % tile
-        rays8 = jnp.pad(rays8, ((0, pad_r), (0, 0)))
-        rp = r + pad_r
-        nt = rp // tile
+        return jnp.pad(rays8, ((0, rp - r), (0, 0)))
 
+    def render_core(rays8: jax.Array):
+        """(N, 8) prepped rays (N a tile multiple) → (rgb, depth, opacity)."""
+        n = rays8.shape[0]
+        nt = n // tile
         z_sel, xyzT, _ = proxy_march.proxy_march_select(
-            packed_proxy, rays8.T, C, K)                          # (K, Rp)
+            packed_proxy, rays8.T, C, K)                          # (K, N)
 
         # survivor point order is tile-major: (nt, K, tile)
-        coords = xyzT[:3].T                                       # (K*Rp, 3)
+        coords = xyzT[:3].T                                       # (K*N, 3)
         feats = sample_from_packed_planes(packed_planes, coords[None],
                                           opts.box_warp)
         out = apply_osg_decoder(decoder, feats)
         sig_kr = (out["sigma"][0, :, 0].reshape(nt, K, tile)
-                  .transpose(1, 0, 2).reshape(K, rp))
+                  .transpose(1, 0, 2).reshape(K, n))
         rgb_kr = (out["rgb"][0].reshape(nt, K, tile, 3)
-                  .transpose(3, 1, 0, 2).reshape(3, K, rp))
+                  .transpose(3, 1, 0, 2).reshape(3, K, n))
 
-        near_t, far_t = rays8[:, 6], rays8[:, 7]                  # (Rp,)
-        spacing = ((far_t - near_t) / (C - 1))[None, :]           # (1, Rp)
+        near_t, far_t = rays8[:, 6], rays8[:, 7]                  # (N,)
+        spacing = ((far_t - near_t) / (C - 1))[None, :]           # (1, N)
         deltas = jnp.concatenate([z_sel[1:] - z_sel[:-1], spacing], axis=0)
         dens = jax.nn.softplus(sig_kr - 1.0)                      # marcher act
         alphas = 1.0 - jnp.exp(-dens * deltas)
         trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=0)
         trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]], 0)
-        weights = alphas * trans                                  # (K, Rp)
+        weights = alphas * trans                                  # (K, N)
         opacity = jnp.sum(weights, axis=0)
         rgb = jnp.einsum("kr,ckr->rc", weights, rgb_kr)
         depth = jnp.sum(weights * z_sel, axis=0) / jnp.maximum(opacity, 1e-10)
         depth = jnp.clip(depth, jnp.min(z_sel), jnp.max(z_sel))
         if white_back:
             rgb = rgb + (1.0 - opacity[:, None])
-        return {"rgb_fine": rgb[:r], "depth_fine": depth[:r],
-                "opacity_fine": opacity[:r]}
+        return rgb, depth, opacity
 
-    return render
+    if cull is None:
+        @jax.jit
+        def render_plain(rays: jax.Array) -> Dict[str, jax.Array]:
+            r = rays.shape[0]
+            rp = r + (-r % tile)
+            rgb, depth, opacity = render_core(prep_rays8(rays, rp))
+            return {"rgb_fine": rgb[:r], "depth_fine": depth[:r],
+                    "opacity_fine": opacity[:r]}
+
+        render_plain.proxy = proxy
+        return render_plain
+
+    assert cull == "auto", f"cull must be None or 'auto' (got {cull!r})"
+
+    @functools.lru_cache(maxsize=None)
+    def frame_program(n_act: int, rp: int, r: int):
+        @jax.jit
+        def run(rays):
+            rays8 = prep_rays8(rays, rp)
+            opac = proxy_march.proxy_opacity(packed_proxy, rays8.T, C)
+            opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
+            n_fg = jnp.sum(opac > opacity_eps)               # next budget
+            # argsort, not top_k: bitonic sort is milliseconds at this
+            # size on TPU, lax.top_k is not (measured round 1)
+            perm = jnp.argsort(-opac)                        # (Rp,)
+            act = rays8[perm[:n_act]]                        # (n_act, 8)
+            rgb_a, depth_a, opac_a = render_core(act)
+            # scatter-free reassembly: one multi-operand stable sort keyed
+            # on the permutation carries every output channel back to ray
+            # order (an .at[idx].set scatter is ~9x slower, measured)
+            fill = jnp.full((rp - n_act,), bg, jnp.float32)
+            zfill = jnp.zeros((rp - n_act,), jnp.float32)
+            ops = (perm,
+                   jnp.concatenate([rgb_a[:, 0], fill]),
+                   jnp.concatenate([rgb_a[:, 1], fill]),
+                   jnp.concatenate([rgb_a[:, 2], fill]),
+                   jnp.concatenate([depth_a, zfill]),
+                   jnp.concatenate([opac_a, zfill]))
+            s = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
+            return {"rgb_fine": jnp.stack(s[1:4], axis=-1),
+                    "depth_fine": s[4], "opacity_fine": s[5]}, n_fg
+        return run
+
+    budget = {"n_fg": None}     # previous frame's count (device array)
+
+    def render_culled(rays: jax.Array) -> Dict[str, jax.Array]:
+        r = rays.shape[0]
+        rp = r + (-r % tile)
+        quantum = -(-rp // (levels * tile)) * tile
+        if budget["n_fg"] is None:
+            n_act = rp                                       # first frame
+        else:
+            n_fg = int(budget["n_fg"])          # deferred, cheap fetch
+            n_act = max(quantum,
+                        -(-int(n_fg * cull_margin) // quantum) * quantum)
+        n_act = min(n_act, rp)
+        out, budget["n_fg"] = frame_program(n_act, rp, r)(
+            jnp.asarray(rays, jnp.float32))
+        return {k: v[:r] for k, v in out.items()}
+
+    render_culled.proxy = proxy
+    return render_culled

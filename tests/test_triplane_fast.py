@@ -86,3 +86,33 @@ def test_fast_eg3d_agrees_with_exact(scene):
     oa = np.asarray(fast["opacity_fine"]).ravel()
     ob = np.asarray(exact["opacity_fine"]).ravel()
     assert np.corrcoef(oa, ob)[0, 1] > 0.5 or np.allclose(oa, ob, atol=0.05)
+
+
+def test_fast_eg3d_auto_cull_matches_plain(scene):
+    """cull='auto': frame 1 renders all rays (budget unset); frame 2 uses
+    frame 1's foreground count. Both frames must match the uncalled fast
+    render on the culled-out rays (background) AND the kept rays."""
+    params, _ = scene
+    rays = jnp.asarray(_camera_rays(16, n_miss=8))
+    plain = make_fast_eg3d_renderer(
+        params, CFG, n_candidates=16, n_keep=8,
+        distill_steps=80, distill_batch=4096,
+        rng=jax.random.PRNGKey(7), table_dtype=jnp.float32)
+    culled = make_fast_eg3d_renderer(
+        params, CFG, n_candidates=16, n_keep=8,
+        distill_steps=80, distill_batch=4096,
+        rng=jax.random.PRNGKey(7), table_dtype=jnp.float32,
+        cull="auto")
+    ref = plain(rays)
+    out1 = culled(rays)   # first frame: full budget
+    out2 = culled(rays)   # second frame: previous-frame budget
+    for out in (out1, out2):
+        for k in ref:
+            a, b = np.asarray(out[k]), np.asarray(ref[k])
+            # kept rays render identically; dropped rays were proxy-empty
+            # (opacity <= eps) so compositing them to pure background moves
+            # the pixel by at most ~eps
+            np.testing.assert_allclose(a, b, atol=0.05)
+    # miss rays are always culled to exact background on the budgeted frame
+    np.testing.assert_allclose(np.asarray(out2["opacity_fine"][-8:]), 0.0,
+                               atol=1e-5)
