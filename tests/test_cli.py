@@ -336,6 +336,22 @@ def test_eval_and_mesh_eg3d_cli(tmp_path_factory, scene_root):
         assert mean_psnr is not None and np.isfinite(mean_psnr)
         assert glob.glob(os.path.join(wd, "results", "blender", "eg3d_eval", "*.png"))
 
+        # fast renderer over the same checkpoint (proxy-culled K samples);
+        # 40x40=1600 rays pad to one 2048-lane march tile
+        mean_psnr_fast = emain(eopts([
+            "--root_dir", scene_root, "--dataset_name", "blender",
+            "--split", "test", "--img_wh", "40", "40",
+            "--ckpt_path", ckpt, "--scene_name", "eg3d_eval_fast",
+            "--N_samples", "12", "--N_importance", "8",
+            "--eg3d_ray_start", "2.0", "--eg3d_ray_end", "6.0",
+            "--eg3d_box_warp", "8.0",
+            "--renderer", "fast", "--fast_candidates", "16",
+            "--fast_keep", "8", "--fast_distill_steps", "20",
+            "--fast_distill_batch", "2048", "--fast_cull", "auto"] + tiny))
+        assert mean_psnr_fast is not None and np.isfinite(mean_psnr_fast)
+        assert glob.glob(os.path.join(wd, "results", "blender",
+                                      "eg3d_eval_fast", "*.png"))
+
         from extract_color_mesh_eg3d import get_opts as mopts, main as mmain
         out = mmain(mopts([
             "--ckpt_path", ckpt, "--N_grid", "32",
