@@ -54,6 +54,8 @@ class EG3DSystem:
         self.tx = get_optimizer(train_cfg, steps_per_epoch)
         self.lr_schedule = make_lr_schedule(train_cfg, steps_per_epoch)
         self._train_step = None
+        self._train_scan = None
+        self._train_scan_batches = None
         self._render_fn = None
 
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
@@ -66,10 +68,9 @@ class EG3DSystem:
                            opt_state=self.tx.init(params))
         return replicate(state, self.mesh)
 
-    def _make_train_step(self):
+    def _make_pure_step(self):
         cfg, tx = self.cfg, self.tx
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, rays, rgbs, rng):
             step_rng = jax.random.fold_in(rng, state.step)
 
@@ -103,12 +104,58 @@ class EG3DSystem:
 
         return train_step
 
+    def _make_train_step(self):
+        return functools.partial(jax.jit, donate_argnums=(0,))(
+            self._make_pure_step())
+
     def train_step(self, state, batch: Dict[str, np.ndarray], rng):
         if self._train_step is None:
             self._train_step = self._make_train_step()
         sharded = shard_rays({"rays": jnp.asarray(batch["rays"]),
                               "rgbs": jnp.asarray(batch["rgbs"])}, self.mesh)
         return self._train_step(state, sharded["rays"], sharded["rgbs"], rng)
+
+    def train_scan(self, state, pool_rays, pool_rgbs, rng: jax.Array,
+                   n_steps: int, batch_size: Optional[int] = None):
+        """Run n_steps of EG3D training in ONE device program (lax.scan).
+
+        Same rationale and semantics as NeRFSystem.train_scan (system.py):
+        batches sample uniformly from the device-resident ray pool each
+        step; use when per-dispatch latency matters (tunneled runtimes add
+        O(100 ms) per host->device call vs the ~56 ms reference-config
+        step). Returns (state, metrics-of-last-step)."""
+        bs = batch_size or self.train_cfg.batch_size
+        if self._train_scan is None:
+            pure = self._make_pure_step()
+
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               static_argnames=("n_steps", "bs"))
+            def scan_fn(state, rays, rgbs, rng, n_steps, bs):
+                def body(st, key):
+                    idx = jax.random.randint(key, (bs,), 0, rays.shape[0])
+                    return pure(st, rays[idx], rgbs[idx],
+                                jax.random.fold_in(key, 1))
+
+                keys = jax.random.split(rng, n_steps)
+                state, ms = jax.lax.scan(body, state, keys)
+                return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+            self._train_scan = scan_fn
+        return self._train_scan(state, jnp.asarray(pool_rays),
+                                jnp.asarray(pool_rgbs), rng, n_steps, bs)
+
+    def train_scan_batches(self, state, rays_b, rgbs_b, rng: jax.Array):
+        """One device program over pre-batched (n_steps, batch, ...) data —
+        epoch-exact semantics (see NeRFSystem.train_scan_batches)."""
+        from nerf_siren_tpu.training.system import (make_scan_batches,
+                                                    shard_batched)
+        if self._train_scan_batches is None:
+            self._train_scan_batches = make_scan_batches(
+                self._make_pure_step())
+        rays_b, rgbs_b = shard_batched(
+            {"rays": jnp.asarray(rays_b), "rgbs": jnp.asarray(rgbs_b)},
+            self.mesh)
+        return self._train_scan_batches(state, rays_b, rgbs_b, rng)
 
     def render(self, params, rays: np.ndarray,
                chunk: int = EG3D_VAL_CHUNK) -> Dict[str, np.ndarray]:

@@ -68,6 +68,7 @@ class NeRFSystem:
         self.siren_z_dim = siren_z_dim
         self._train_step = None
         self._train_scan = None
+        self._train_scan_batches = None
         self._render_fn = None
 
     def _field_fn(self, rays=None):
@@ -167,6 +168,29 @@ class NeRFSystem:
         return self._train_scan(state, jnp.asarray(pool_rays),
                                 jnp.asarray(pool_rgbs), rng, n_steps, bs)
 
+    def train_scan_batches(self, state: TrainState, rays_b, rgbs_b,
+                           rng: jax.Array):
+        """Run a GROUP of pre-batched steps in ONE device program.
+
+        rays_b/rgbs_b: (n_steps, batch, ...) — exactly the batches the epoch
+        iterator would feed successive train_step calls, so semantics match
+        them (train.py passes the same rng every call and the pure step
+        folds in state.step; tested to adam-noise tolerance). Unlike
+        train_scan (uniform pool sampling), this preserves the reference's
+        epoch semantics while collapsing n_steps dispatches into one
+        (--steps_per_dispatch in train.py). Measured on-chip: neutral when
+        the async host loop already pipelines dispatches (20.1 vs 21.8
+        ms/step at the reference recipe); wins when it cannot (per-step
+        metric fetches, slow hosts, high-latency tunnels). Returns
+        (state, metrics-of-last-step)."""
+        if self._train_scan_batches is None:
+            self._train_scan_batches = make_scan_batches(
+                self._make_pure_step())
+        rays_b, rgbs_b = shard_batched(
+            {"rays": jnp.asarray(rays_b), "rgbs": jnp.asarray(rgbs_b)},
+            self.mesh)
+        return self._train_scan_batches(state, rays_b, rgbs_b, rng)
+
     def train_step(self, state: TrainState, batch: Dict[str, np.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
         if self._train_step is None:
@@ -201,6 +225,36 @@ class NeRFSystem:
 
     def current_lr(self, state: TrainState) -> float:
         return float(self.lr_schedule(int(state.step)))
+
+
+def make_scan_batches(pure_step):
+    """jit a lax.scan over pre-batched (n_steps, batch, ...) rays/rgbs.
+
+    Shared by NeRFSystem/EG3DSystem.train_scan_batches; `pure_step` is a
+    (state, rays, rgbs, rng) -> (state, metrics) pure training step."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_fn(state, rays_b, rgbs_b, rng):
+        def body(st, xs):
+            rays, rgbs = xs
+            return pure_step(st, rays, rgbs, rng)
+
+        state, ms = jax.lax.scan(body, state, (rays_b, rgbs_b))
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    return scan_fn
+
+
+def shard_batched(batch, mesh: Mesh, axis: str = "data"):
+    """Place (n_steps, batch, ...) arrays with the BATCH dim (axis 1) split
+    across devices — the scan carries per-step slices already sharded the
+    way train_step's shard_rays lays out a single batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(None, axis))
+    out = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+    return tuple(out[k] for k in ("rays", "rgbs"))
 
 
 def epoch_iterator(all_rays: np.ndarray, all_rgbs: np.ndarray, batch_size: int,

@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--chunk', type=int, default=32 * 1024,
                         help='rays per compiled tile (memory bound)')
     parser.add_argument('--num_epochs', type=int, default=16)
+    parser.add_argument('--steps_per_dispatch', type=int, default=1,
+                        help='group N epoch batches into one lax.scan device '
+                             'program (train_scan_batches); semantics '
+                             'identical to N train_step calls (modes '
+                             'normal/eg3d). Helps when dispatch cannot '
+                             'pipeline (per-step metric fetches, slow hosts, '
+                             'high-latency tunnels); measured neutral when '
+                             'the async host loop already pipelines')
     parser.add_argument('--num_chips', '--num_gpus', dest='num_chips', type=int, default=0,
                         help='number of TPU chips for the data mesh (0 = all)')
     parser.add_argument('--multihost', default=False, action='store_true',

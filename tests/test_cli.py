@@ -318,6 +318,7 @@ def test_eval_and_mesh_eg3d_cli(tmp_path_factory, scene_root):
             "--mode", "eg3d", "--img_wh", "40", "40",
             "--N_samples", "12", "--N_importance", "8",
             "--batch_size", "800", "--num_epochs", "1",
+            "--steps_per_dispatch", "4",   # exercises train_scan_batches
             "--lr", "1e-2", "--decay_step", "100",
             "--exp_name", "eg3d_tools",
             "--eg3d_ray_start", "2.0", "--eg3d_ray_end", "6.0",

@@ -190,3 +190,54 @@ def test_train_scan_matches_train_step_progress():
     state, m1 = system.train_scan(state, rays, rgbs, jax.random.PRNGKey(2), 30)
     assert int(state.step) == 32
     assert float(m1["train/loss"]) < loss0
+
+
+def test_train_scan_batches_matches_train_step_exactly():
+    """train_scan_batches over pre-batched data reproduces N sequential
+    train_step calls — same params, same step count (train.py passes the
+    same rng to every call; the pure step folds in state.step)."""
+    import jax
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.system import NeRFSystem
+
+    rng = np.random.default_rng(1)
+    n, bs = 384, 128
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([np.zeros((n, 3), np.float32), d,
+                           np.full((n, 1), 2, np.float32),
+                           np.full((n, 1), 6, np.float32)], -1)
+    rgbs = (0.5 + 0.5 * np.tanh(d)).astype(np.float32)
+    batches = [(rays[i * bs:(i + 1) * bs], rgbs[i * bs:(i + 1) * bs])
+               for i in range(3)]
+
+    def make():
+        system = NeRFSystem(
+            RenderConfig(n_samples=8, n_importance=0, perturb=1.0, noise_std=1.0),
+            TrainConfig(lr=5e-3, batch_size=bs, decay_step=(100,)),
+            NeRFConfig(depth=2, width=128), steps_per_epoch=20)
+        return system, system.init_state(jax.random.PRNGKey(0))
+
+    step_rng = jax.random.PRNGKey(7)
+    system_a, state_a = make()
+    for br, bc in batches:
+        state_a, m_a = system_a.train_step(state_a, {"rays": br, "rgbs": bc},
+                                           step_rng)
+
+    system_b, state_b = make()
+    state_b, m_b = system_b.train_scan_batches(
+        state_b, np.stack([b[0] for b in batches]),
+        np.stack([b[1] for b in batches]), step_rng)
+
+    assert int(state_a.step) == int(state_b.step) == 3
+    # the last step's loss is computed from the first two steps' params —
+    # 1e-6 agreement means the trajectories coincide; params themselves
+    # carry small cross-program float-reassociation drift (different XLA
+    # fusions in scan body vs standalone jit) amplified by adam's
+    # sqrt-normalization, so they get a looser bound
+    np.testing.assert_allclose(float(m_a["train/loss"]),
+                               float(m_b["train/loss"]), rtol=1e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=1e-3)

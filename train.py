@@ -200,13 +200,37 @@ def main(hparams):
 
     rng = jax.random.PRNGKey(hparams.seed + 1)
     extras = {"cls": train_ds.all_cls} if hasattr(train_ds, "all_cls") else None
+    spd = getattr(hparams, "steps_per_dispatch", 1)
+    use_scan = (spd > 1 and extras is None
+                and hasattr(system, "train_scan_batches"))
     for epoch in range(start_epoch, hparams.num_epochs):
         t0 = time.time()
         metrics: Dict = {}
-        for batch in epoch_iterator(train_ds.all_rays, train_ds.all_rgbs,
-                                    hparams.batch_size, hparams.seed, epoch, extras,
-                                    shard_index=shard_index, num_shards=num_shards):
-            state, metrics = system.train_step(state, batch, rng)
+        if use_scan:
+            # group batches into one lax.scan program per `spd` steps —
+            # identical math to per-batch train_step (same rng each call;
+            # the pure step folds in state.step), amortizing dispatch
+            # latency on tunneled runtimes
+            group: list = []
+            for batch in epoch_iterator(train_ds.all_rays, train_ds.all_rgbs,
+                                        hparams.batch_size, hparams.seed, epoch,
+                                        None, shard_index=shard_index,
+                                        num_shards=num_shards):
+                group.append(batch)
+                if len(group) == spd:
+                    state, metrics = system.train_scan_batches(
+                        state, np.stack([b["rays"] for b in group]),
+                        np.stack([b["rgbs"] for b in group]), rng)
+                    group = []
+            if group:  # epoch tail (one extra trace at most, same each epoch)
+                state, metrics = system.train_scan_batches(
+                    state, np.stack([b["rays"] for b in group]),
+                    np.stack([b["rgbs"] for b in group]), rng)
+        else:
+            for batch in epoch_iterator(train_ds.all_rays, train_ds.all_rgbs,
+                                        hparams.batch_size, hparams.seed, epoch, extras,
+                                        shard_index=shard_index, num_shards=num_shards):
+                state, metrics = system.train_step(state, batch, rng)
         step = int(state.step)
         if writer is not None:
             for k, v in metrics.items():
