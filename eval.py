@@ -29,6 +29,11 @@ def get_opts(args=None):
     parser.add_argument('--N_importance', type=int, default=128)
     parser.add_argument('--use_disp', default=False, action='store_true')
     parser.add_argument('--chunk', type=int, default=32 * 1024)
+    parser.add_argument('--num_chips', type=int, default=1,
+                        help='shard each frame over N chips for the exact '
+                             'renderer (0 = all available); rays are '
+                             'embarrassingly parallel, so eval scales '
+                             '~linearly (parallel/shard_train shard_map)')
     parser.add_argument('--ckpt_path', type=str, required=True)
     parser.add_argument('--save_depth', default=False, action='store_true')
     parser.add_argument('--depth_format', type=str, default='pfm',
@@ -208,6 +213,35 @@ def main(hparams):
                 tiles)
             return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
                     for k, v in out.items()}
+    elif hparams.num_chips != 1 and len(jax.devices()) > 1:
+        # multi-chip exact eval: frame rays sharded over a data mesh, every
+        # chip renders its slice (params replicated, zero collectives)
+        from jax.sharding import PartitionSpec as P
+
+        from nerf_siren_tpu.parallel.mesh import make_mesh, shard_rays
+        from nerf_siren_tpu.parallel.shard_train import shard_map_compat
+
+        n_chips = hparams.num_chips if hparams.num_chips > 0 else None
+        devices = jax.devices()[:n_chips] if n_chips else jax.devices()
+        mesh = make_mesh(devices=devices)
+        n_dev = mesh.shape["data"]
+
+        @jax.jit
+        def render_mesh(params, rays):
+            def per_shard(params, rays):
+                return render_rays_chunked(params, rays, render_cfg, None,
+                                           nerf_cfg=nerf_cfg,
+                                           compute_dtype=compute_dtype)
+
+            return shard_map_compat(per_shard, mesh=mesh,
+                                    in_specs=(P(), P("data")),
+                                    out_specs=P("data"))(params, rays)
+
+        def render(params, rays):
+            n = rays.shape[0]
+            pad = -n % n_dev
+            rays_p = shard_rays(jnp.pad(rays, ((0, pad), (0, 0))), mesh)
+            return {k: v[:n] for k, v in render_mesh(params, rays_p).items()}
     else:
         @functools.partial(jax.jit, static_argnames=())
         def render(params, rays):

@@ -47,6 +47,10 @@ except ImportError:  # jax >= the experimental API's removal
         return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=False)
 
+# public alias: the version-proofed shard_map for other modules
+# (e.g. NeRFSystem.render_sharded); same canary-test coverage
+shard_map_compat = _shard_map
+
 from nerf_siren_tpu.config import NeRFConfig, RenderConfig
 from nerf_siren_tpu.render.rendering import render_rays
 from nerf_siren_tpu.training.losses import mse_loss

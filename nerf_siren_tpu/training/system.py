@@ -70,6 +70,7 @@ class NeRFSystem:
         self._train_scan = None
         self._train_scan_batches = None
         self._render_fn = None
+        self._render_sharded_fn = None
 
     def _field_fn(self, rays=None):
         """Field override; None selects the default MLP field."""
@@ -222,6 +223,49 @@ class NeRFSystem:
             self._render_fn = render_fn
         out = self._render_fn(params, jnp.asarray(rays), cfg)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def render_sharded(self, params, rays: np.ndarray, test_time: bool = False
+                       ) -> Dict[str, np.ndarray]:
+        """Multi-chip full-image render: rays split over the mesh's data
+        axis, each device runs the chunked renderer on its slice (params
+        replicated, ZERO collectives — eval rays are embarrassingly
+        parallel, so N chips render a frame ~N× faster over ICI-free
+        execution). Pads to a device multiple and slices back. Asserted
+        equal to render() on the virtual 8-device mesh in tests."""
+        cfg = self.render_cfg.replace(test_time=test_time, perturb=0.0,
+                                      noise_std=0.0)
+        n_dev = self.mesh.shape["data"]
+        if n_dev == 1:
+            return self.render(params, rays, test_time=test_time)
+        if self._render_sharded_fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            from nerf_siren_tpu.parallel.shard_train import shard_map_compat
+
+            field_fn_for = self._field_fn
+            nerf_cfg = self.nerf_cfg
+
+            @functools.partial(jax.jit, static_argnames=("cfg",))
+            def render_fn(params, rays, cfg):
+                def per_shard(params, rays):
+                    return render_rays_chunked(params, rays, cfg, None,
+                                               nerf_cfg=nerf_cfg,
+                                               field_fn=field_fn_for(rays))
+
+                return shard_map_compat(
+                    functools.partial(per_shard),
+                    mesh=self.mesh,
+                    in_specs=(P(), P("data")),
+                    out_specs=P("data"))(params, rays)
+
+            self._render_sharded_fn = render_fn
+        n = rays.shape[0]
+        pad = -n % n_dev
+        rays_p = np.pad(np.asarray(rays, np.float32), ((0, pad), (0, 0)))
+        from nerf_siren_tpu.parallel.mesh import shard_rays as _shard
+        rays_p = _shard(jnp.asarray(rays_p), self.mesh)
+        out = self._render_sharded_fn(params, rays_p, cfg)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     def current_lr(self, state: TrainState) -> float:
         return float(self.lr_schedule(int(state.step)))

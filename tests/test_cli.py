@@ -209,6 +209,36 @@ def test_train_cli_eg3d(tmp_path_factory, scene_root):
         os.chdir(cwd)
 
 
+def test_eval_cli_exact_multichip(workdir, scene_root):
+    """--renderer exact --num_chips 0: frame rays shard over the virtual
+    8-device mesh; output must stay a finite full-frame PSNR + PNGs."""
+    wd, _ = workdir
+    ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "smoke", "*.msgpack")))[-1]
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from eval import get_opts as eval_opts, main as eval_main
+        mean_psnr = eval_main(eval_opts([
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--split", "test",
+            "--img_wh", "40", "40",
+            "--N_samples", "24", "--N_importance", "8",
+            "--ckpt_path", ckpt,
+            "--scene_name", "sphere_multichip",
+            "--renderer", "exact",
+            "--num_chips", "0",
+            "--chunk", "256",
+            "--compute_dtype", "float32",
+        ]))
+        assert mean_psnr is not None and np.isfinite(mean_psnr)
+        pngs = glob.glob(os.path.join(wd, "results", "blender",
+                                      "sphere_multichip", "*.png"))
+        assert len(pngs) == 2
+    finally:
+        os.chdir(cwd)
+
+
 def test_eval_cli_fast_renderer(workdir, scene_root):
     """--renderer fast: distill proxy from checkpoint, AABB-culled render."""
     wd, _ = workdir
