@@ -23,6 +23,9 @@ def get_opts(args=None):
     parser.add_argument('--img_wh', nargs='+', type=int, default=[128, 128])
     parser.add_argument('--spheric_poses', default=False, action='store_true')
     parser.add_argument('--chunk', type=int, default=4096)
+    parser.add_argument('--num_chips', type=int, default=1,
+                        help='shard each frame over N chips for the exact '
+                             'renderer (0 = all available)')
     parser.add_argument('--ckpt_path', type=str, required=True)
     parser.add_argument('--eg3d_plane_res', type=int, default=256)
     parser.add_argument('--eg3d_channel_base', type=int, default=32768)
@@ -82,8 +85,12 @@ def main(hparams):
             ray_start=hparams.eg3d_ray_start, ray_end=hparams.eg3d_ray_end,
             box_warp=hparams.eg3d_box_warp,
             white_back=dataset.white_back))
+    from nerf_siren_tpu.parallel.mesh import make_mesh
+    devices = jax.devices()
+    if hparams.num_chips > 0:
+        devices = devices[:hparams.num_chips]
     system = EG3DSystem(RenderConfig(), TrainConfig(), steps_per_epoch=1,
-                        triplane_cfg=tri_cfg)
+                        triplane_cfg=tri_cfg, mesh=make_mesh(devices=devices))
     params = system.init_params(jax.random.PRNGKey(0))
     params['eg3d_renderer'] = load_ckpt(params['eg3d_renderer'],
                                         hparams.ckpt_path, 'eg3d_renderer')
@@ -121,6 +128,9 @@ def main(hparams):
                         for j in range(n_tiles)]
                 return {k: np.concatenate([np.asarray(o[k]) for o in outs])[:n]
                         for k in outs[0]}
+    elif system.mesh.shape['data'] > 1:
+        def render(params, rays):
+            return system.render_sharded(params, rays, chunk=hparams.chunk)
     else:
         def render(params, rays):
             return system.render(params, rays, chunk=hparams.chunk)

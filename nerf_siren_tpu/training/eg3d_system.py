@@ -57,6 +57,7 @@ class EG3DSystem:
         self._train_scan = None
         self._train_scan_batches = None
         self._render_fn = None
+        self._render_sharded_fn = None
 
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         # nested under the reference's checkpoint name (eg3d_renderer.*)
@@ -197,6 +198,61 @@ class EG3DSystem:
         out = self._render_fn(params, jnp.asarray(tiles))
         return {k: np.asarray(v).reshape(n_tiles * chunk, *v.shape[2:])[:n]
                 for k, v in out.items()}
+
+    def render_sharded(self, params, rays: np.ndarray,
+                       chunk: int = EG3D_VAL_CHUNK) -> Dict[str, np.ndarray]:
+        """Multi-chip frame render: planes synthesized once and replicated,
+        rays split over the mesh's data axis (zero collectives — see
+        NeRFSystem.render_sharded). Falls back to render() on one device."""
+        cfg = self.cfg
+        n_dev = self.mesh.shape["data"]
+        if n_dev == 1:
+            return self.render(params, rays, chunk=chunk)
+        if self._render_sharded_fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            from nerf_siren_tpu.parallel.shard_train import shard_map_compat
+
+            @functools.partial(jax.jit, static_argnames=("chunk_t",))
+            def render_fn(params, rays, chunk_t):
+                p = params["eg3d_renderer"]
+                ws = triplane_mapping(p, cfg, p["z"])
+                planes = triplane_planes(p, cfg, ws)
+                planes = pack_planes_for_sampling(planes, jnp.bfloat16)
+
+                def per_shard(planes, decoder, rays):
+                    n = rays.shape[0]
+                    ct = min(chunk_t, n)
+                    nt = -(-n // ct)
+                    tiles = jnp.pad(rays, ((0, nt * ct - n), (0, 0)))
+                    tiles = tiles.reshape(nt, ct, rays.shape[1])
+
+                    def tile(t):
+                        (rgb_c, d_c, w_c, rgb_f, d_f, w_f) = importance_render(
+                            planes, decoder, t[None, :, 0:3], t[None, :, 3:6],
+                            cfg.rendering, None, packed=True)
+                        out = {"rgb_coarse": rgb_c, "depth_coarse": d_c,
+                               "opacity_coarse": w_c, "rgb_fine": rgb_f,
+                               "depth_fine": d_f, "opacity_fine": w_f}
+                        return {k: v[0] for k, v in out.items()}
+
+                    out = jax.lax.map(tile, tiles)
+                    return {k: v.reshape(nt * ct, *v.shape[2:])[:n]
+                            for k, v in out.items()}
+
+                return shard_map_compat(per_shard, mesh=self.mesh,
+                                        in_specs=(P(), P(), P("data")),
+                                        out_specs=P("data"))(
+                    planes, p["decoder"], rays)
+
+            self._render_sharded_fn = render_fn
+        n = rays.shape[0]
+        pad = -n % n_dev
+        rays_p = shard_rays(
+            jnp.asarray(np.pad(np.asarray(rays, np.float32),
+                               ((0, pad), (0, 0)))), self.mesh)
+        out = self._render_sharded_fn(params, rays_p, chunk)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     def current_lr(self, state) -> float:
         return float(self.lr_schedule(int(state.step)))

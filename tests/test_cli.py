@@ -363,7 +363,8 @@ def test_eval_and_mesh_eg3d_cli(tmp_path_factory, scene_root):
             "--ckpt_path", ckpt, "--scene_name", "eg3d_eval",
             "--N_samples", "12", "--N_importance", "8",
             "--eg3d_ray_start", "2.0", "--eg3d_ray_end", "6.0",
-            "--eg3d_box_warp", "8.0", "--chunk", "800"] + tiny))
+            "--eg3d_box_warp", "8.0", "--chunk", "800",
+            "--num_chips", "0"] + tiny))  # sharded over the virtual mesh
         assert mean_psnr is not None and np.isfinite(mean_psnr)
         assert glob.glob(os.path.join(wd, "results", "blender", "eg3d_eval", "*.png"))
 

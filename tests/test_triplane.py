@@ -186,6 +186,37 @@ def test_eg3d_system_trains(rng):
     assert out["rgb_fine"].shape == (32, 3)
 
 
+def test_eg3d_render_sharded_matches_single(rng):
+    """EG3DSystem.render_sharded over the 8-device mesh reproduces render()
+    (bf16 packed tables both paths). Coarse outputs strict; fine outputs
+    carry the f32 sample_pdf CDF-tie sensitivity under different tile
+    widths (see tests/test_training.py::test_render_sharded_...)."""
+    from nerf_siren_tpu.config import RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.eg3d_system import EG3DSystem
+
+    system = EG3DSystem(RenderConfig(), TrainConfig(lr=1e-2, decay_step=(100,)),
+                        steps_per_epoch=4, triplane_cfg=TINY)
+    assert system.mesh.shape["data"] == len(jax.devices())
+    params = system.init_params(jax.random.PRNGKey(0))
+    n = 101  # odd: pads to a device multiple and slices back
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = -2.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d], -1)
+
+    ref = system.render(params, rays, chunk=16)
+    out = system.render_sharded(params, rays, chunk=16)
+    assert set(out) == set(ref)
+    for k in ("rgb_coarse", "depth_coarse", "opacity_coarse"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-4, err_msg=k)
+    agree = np.isclose(np.asarray(out["rgb_fine"]),
+                       np.asarray(ref["rgb_fine"]), atol=1e-3)
+    assert agree.mean() > 0.85, f"fine agreement {agree.mean():.3f}"
+
+
 def test_w_avg_ema_updates_during_training(rng):
     """w_avg must track the EMA of the mapping output during training
     (reference networks_stylegan2.py:251-254) so truncation_psi<1 works on a
