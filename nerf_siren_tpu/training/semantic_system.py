@@ -142,6 +142,55 @@ class NeRF3DSystem(NeRFSystem):
         out = self._render_fn(params, jnp.asarray(rays), cfg)
         return {k: np.asarray(v) for k, v in out.items()}
 
+    def render_sharded(self, params, rays: np.ndarray, test_time: bool = False
+                       ) -> Dict[str, np.ndarray]:
+        """Multi-chip semantic render: rays split over the data mesh, params
+        replicated, zero collectives (see NeRFSystem.render_sharded)."""
+        cfg = self.render_cfg.replace(test_time=test_time, perturb=0.0,
+                                      noise_std=0.0)
+        n_dev = self.mesh.shape["data"]
+        if n_dev == 1:
+            return self.render(params, rays, test_time=test_time)
+        if self._render_sharded_fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            from nerf_siren_tpu.parallel.shard_train import shard_map_compat
+
+            sem_kwargs = dict(n_classes=self.n_classes,
+                              point_capacity=self.point_capacity,
+                              no_grad_on_nerf=False,
+                              points_apply=self._points_apply)
+
+            @functools.partial(jax.jit, static_argnames=("cfg",))
+            def render_fn(params, rays, cfg):
+                def per_shard(params, rays):
+                    n = rays.shape[0]
+                    chunk = min(cfg.chunk, n)
+                    n_tiles = -(-n // chunk)
+                    pad = n_tiles * chunk - n
+                    tiles = jnp.pad(rays, ((0, pad), (0, 0))).reshape(
+                        n_tiles, chunk, 8)
+                    out = jax.lax.map(
+                        lambda t: render_rays_3d(params, t, cfg, None,
+                                                 nerf_cfg=self.nerf_cfg,
+                                                 **sem_kwargs),
+                        tiles)
+                    return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+                            for k, v in out.items()}
+
+                return shard_map_compat(per_shard, mesh=self.mesh,
+                                        in_specs=(P(), P("data")),
+                                        out_specs=P("data"))(params, rays)
+
+            self._render_sharded_fn = render_fn
+        n = rays.shape[0]
+        pad = -n % n_dev
+        rays_p = shard_rays(
+            jnp.asarray(np.pad(np.asarray(rays, np.float32),
+                               ((0, pad), (0, 0)))), self.mesh)
+        out = self._render_sharded_fn(params, rays_p, cfg)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
 
 # alias mirroring the reference class name (behavioral difference is only
 # batch shape, which the flat-ray pipeline already absorbs)

@@ -153,6 +153,29 @@ def test_nerf3d_system_trains(rng):
     assert out["cls_coarse"].shape == (64, 6)
 
 
+def test_nerf3d_render_sharded_matches_single(rng):
+    """Semantic multi-chip render: with the per-tile ray count equal in both
+    paths (chunk divides the shard size), tiling — and hence the per-tile
+    fixed-capacity point selection — is identical, so outputs must match."""
+    import jax
+    from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
+
+    n = 1024  # divisible by 8 devices * chunk 64 → identical tiles
+    rays = np.asarray(_make_rays(n, rng))
+    system = NeRF3DSystem(
+        RenderConfig(n_samples=8, chunk=64),
+        TrainConfig(loss_type="msenll"), NeRFConfig(depth=2, width=32),
+        steps_per_epoch=1, point_capacity=256, no_grad_on_nerf=False)
+    assert system.mesh.shape["data"] == len(jax.devices())
+    params = system.init_params(jax.random.PRNGKey(0))
+    ref = system.render(params, rays)
+    out = system.render_sharded(params, rays)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-4, err_msg=k)
+
+
 def test_nerf3d_system_conv3d_variant(rng):
     from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
 
