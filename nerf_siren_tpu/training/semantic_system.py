@@ -69,7 +69,7 @@ class NeRF3DSystem(NeRFSystem):
                                                out_channels=self.n_classes)
         return params
 
-    def _make_train_step(self):
+    def _make_pure_step(self):
         render_cfg = self.render_cfg.replace(test_time=False)
         nerf_cfg = self.nerf_cfg
         tx, loss_fn = self.tx, self.loss_fn
@@ -80,7 +80,6 @@ class NeRF3DSystem(NeRFSystem):
             points_apply=self._points_apply,
         )
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, rays, rgbs, rng, cls_target):
             step_rng = jax.random.fold_in(rng, state.step)
 
@@ -106,6 +105,10 @@ class NeRF3DSystem(NeRFSystem):
 
         return train_step
 
+    def _make_train_step(self):
+        return functools.partial(jax.jit, donate_argnums=(0,))(
+            self._make_pure_step())
+
     def train_step(self, state, batch, rng):
         if self._train_step is None:
             self._train_step = self._make_train_step()
@@ -117,6 +120,34 @@ class NeRF3DSystem(NeRFSystem):
              "cls": jnp.asarray(cls_t)}, self.mesh)
         return self._train_step(state, sharded["rays"], sharded["rgbs"], rng,
                                 sharded["cls"])
+
+    def train_scan_batches(self, state, rays_b, rgbs_b, rng: jax.Array,
+                           cls_b=None):
+        """One device program over pre-batched (n_steps, batch, ...) data
+        with per-step class targets (see NeRFSystem.train_scan_batches)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self._train_scan_batches is None:
+            pure = self._make_pure_step()
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def scan_fn(state, rays_b, rgbs_b, cls_b, rng):
+                def body(st, xs):
+                    rays, rgbs, cls_t = xs
+                    return pure(st, rays, rgbs, rng, cls_t)
+
+                state, ms = jax.lax.scan(body, state, (rays_b, rgbs_b, cls_b))
+                return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+            self._train_scan_batches = scan_fn
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        n_steps = np.asarray(rays_b).shape[0]
+        put = lambda x, shape: jax.device_put(
+            jnp.asarray(np.asarray(x).reshape(shape)), sharding)
+        rays_b = put(rays_b, (n_steps, -1, 8))
+        rgbs_b = put(rgbs_b, (n_steps, -1, 3))
+        cls_b = put(cls_b, (n_steps, -1))
+        return self._train_scan_batches(state, rays_b, rgbs_b, cls_b, rng)
 
     def render(self, params, rays: np.ndarray, test_time: bool = False,
                rng=None) -> Dict[str, np.ndarray]:

@@ -130,6 +130,7 @@ def test_train_cli_semantic_d3(tmp_path_factory):
             "--N_samples", "16", "--N_importance", "0",
             "--batch_size", "512",
             "--num_epochs", "1",
+            "--steps_per_dispatch", "3",  # exercises the cls scan path
             "--lr", "1e-3",
             "--decay_step", "100",
             "--loss_type", "msenll",

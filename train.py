@@ -201,8 +201,22 @@ def main(hparams):
     rng = jax.random.PRNGKey(hparams.seed + 1)
     extras = {"cls": train_ds.all_cls} if hasattr(train_ds, "all_cls") else None
     spd = getattr(hparams, "steps_per_dispatch", 1)
-    use_scan = (spd > 1 and extras is None
-                and hasattr(system, "train_scan_batches"))
+    import inspect
+    scan_takes_cls = (hasattr(system, "train_scan_batches") and
+                      "cls_b" in inspect.signature(
+                          system.train_scan_batches).parameters)
+    use_scan = (spd > 1 and hasattr(system, "train_scan_batches")
+                and (extras is None
+                     or (set(extras) == {"cls"} and scan_takes_cls)))
+
+    def flush_group(state, group):
+        kw = {}
+        if "cls" in group[0]:
+            kw["cls_b"] = np.stack([b["cls"] for b in group])
+        return system.train_scan_batches(
+            state, np.stack([b["rays"] for b in group]),
+            np.stack([b["rgbs"] for b in group]), rng, **kw)
+
     for epoch in range(start_epoch, hparams.num_epochs):
         t0 = time.time()
         metrics: Dict = {}
@@ -214,18 +228,14 @@ def main(hparams):
             group: list = []
             for batch in epoch_iterator(train_ds.all_rays, train_ds.all_rgbs,
                                         hparams.batch_size, hparams.seed, epoch,
-                                        None, shard_index=shard_index,
+                                        extras, shard_index=shard_index,
                                         num_shards=num_shards):
                 group.append(batch)
                 if len(group) == spd:
-                    state, metrics = system.train_scan_batches(
-                        state, np.stack([b["rays"] for b in group]),
-                        np.stack([b["rgbs"] for b in group]), rng)
+                    state, metrics = flush_group(state, group)
                     group = []
             if group:  # epoch tail (one extra trace at most, same each epoch)
-                state, metrics = system.train_scan_batches(
-                    state, np.stack([b["rays"] for b in group]),
-                    np.stack([b["rgbs"] for b in group]), rng)
+                state, metrics = flush_group(state, group)
         else:
             for batch in epoch_iterator(train_ds.all_rays, train_ds.all_rgbs,
                                         hparams.batch_size, hparams.seed, epoch, extras,
