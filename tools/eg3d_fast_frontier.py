@@ -1,0 +1,155 @@
+"""Measure the EG3D fast-renderer speed/quality frontier on the real chip.
+
+Mirrors tools/fast_frontier.py for the triplane stack: every row times AND
+scores the SAME held-out frame of the SAME trained scene.
+
+1. build (or reuse) the synthetic Blender sphere scene,
+2. train the reference-config EG3D renderer (256^2 planes, 64+64) on-chip,
+3. distill the density proxy once (shared across every operating point),
+4. render one held-out 256^2 pose with the exact marcher and with every
+   (n_candidates, n_keep) fast config (render/triplane_fast.py),
+5. report rays/s (median of 3 frames, scalar-fetch synced — on tunneled
+   runtimes only a host fetch synchronizes), agreement (PSNR of fast vs
+   exact frame) and PSNR vs the dataset GT for both.
+
+Writes docs/eg3d_fast_frontier.json and prints a markdown table.
+
+Run: python tools/eg3d_fast_frontier.py [--steps 400] [--ckpt cache.msgpack]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--distill_steps", type=int, default=500)
+    ap.add_argument("--scene_dir", type=str, default="/tmp/eg3d_frontier_scene")
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="cache trained params here (reuse across runs)")
+    ap.add_argument("--configs", type=str,
+                    default="32x8,32x12,32x16,48x16,32x24",
+                    help="comma-separated CxK operating points")
+    ap.add_argument("--out", type=str, default="docs/eg3d_fast_frontier.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.datasets_synthetic import make_blender_dataset
+    from nerf_siren_tpu.config import RenderConfig, TrainConfig
+    from nerf_siren_tpu.datasets import dataset_dict
+    from nerf_siren_tpu.render.triplane import RenderingOptions, TriPlaneConfig
+    from nerf_siren_tpu.render.triplane_fast import make_fast_eg3d_renderer
+    from nerf_siren_tpu.training.checkpoints import load_ckpt, save_checkpoint
+    from nerf_siren_tpu.training.eg3d_system import EG3DSystem
+
+    if not os.path.exists(os.path.join(args.scene_dir, "transforms_train.json")):
+        make_blender_dataset(args.scene_dir, n_train=6, n_val=2, hw=128)
+    train_ds = dataset_dict["blender"](root_dir=args.scene_dir, split="train",
+                                       img_wh=(128, 128))
+    val_ds = dataset_dict["blender"](root_dir=args.scene_dir, split="val",
+                                     img_wh=(256, 256))
+
+    cfg = TriPlaneConfig(rendering=RenderingOptions(
+        depth_resolution=64, depth_resolution_importance=64,
+        ray_start=2.0, ray_end=6.5, box_warp=4.0,
+        white_back=train_ds.white_back))
+    system = EG3DSystem(
+        RenderConfig(), TrainConfig(lr=2e-3, batch_size=4096, decay_step=(8,)),
+        steps_per_epoch=1000, triplane_cfg=cfg)
+
+    state = system.init_state(jax.random.PRNGKey(0))
+    if args.ckpt and os.path.exists(args.ckpt):
+        params = {"eg3d_renderer": load_ckpt(
+            jax.device_get(state.params)["eg3d_renderer"], args.ckpt,
+            "eg3d_renderer")}
+        params = jax.device_put(params)
+        print("loaded cached checkpoint", flush=True)
+    else:
+        all_rays = np.asarray(train_ds.all_rays, np.float32)
+        all_rgbs = np.asarray(train_ds.all_rgbs, np.float32)
+        rng = np.random.default_rng(0)
+        key = jax.random.PRNGKey(1)
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            idx = rng.integers(0, all_rays.shape[0], 4096)
+            state, m = system.train_step(
+                state, {"rays": all_rays[idx], "rgbs": all_rgbs[idx, :3]}, key)
+        print(f"trained {args.steps} steps in {time.perf_counter() - t0:.1f}s, "
+              f"train psnr {float(m['train/psnr']):.2f}", flush=True)
+        params = state.params
+        if args.ckpt:
+            save_checkpoint(args.ckpt, {"params": jax.device_get(params)})
+
+    sample = val_ds[0]
+    rays = np.asarray(sample["rays"], np.float32)
+    gt = np.asarray(sample["rgbs"], np.float32)[:, :3]
+    n = rays.shape[0]
+
+    def time_render(fn, reps=3):
+        for _ in range(25):  # past the tunneled runtime re-optimization
+            out = fn()
+            float(jnp.sum(jnp.asarray(out["rgb_fine"]).ravel()[:4]))
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            float(jnp.sum(jnp.asarray(out["rgb_fine"]).ravel()[:4]))
+            times.append(time.perf_counter() - t0)
+        return out, float(np.median(times))
+
+    def psnr_vs(a, b):
+        return float(-10 * np.log10(max(float(np.mean((a - b) ** 2)), 1e-12)))
+
+    out, exact_s = time_render(lambda: system.render(params, rays))
+    exact_rgb = np.asarray(out["rgb_fine"], np.float32)
+    rows = [{"config": "exact 64+64", "rays_per_sec": n / exact_s,
+             "agreement_db": None, "psnr_vs_gt": psnr_vs(exact_rgb, gt)}]
+    print(f"exact: {n / exact_s / 1e3:.1f}K rays/s, "
+          f"{rows[0]['psnr_vs_gt']:.2f} dB vs GT", flush=True)
+
+    proxy = None
+    rays_j = jnp.asarray(rays)
+    for spec in args.configs.split(","):
+        C, K = (int(v) for v in spec.strip().split("x"))
+        fast = make_fast_eg3d_renderer(
+            params["eg3d_renderer"], cfg, n_candidates=C, n_keep=K,
+            distill_steps=args.distill_steps, rng=jax.random.PRNGKey(7),
+            proxy=proxy)
+        proxy = fast.proxy
+        fo, fast_s = time_render(lambda: fast(rays_j))
+        frgb = np.asarray(fo["rgb_fine"], np.float32)
+        rows.append({"config": f"C={C} K={K}", "rays_per_sec": n / fast_s,
+                     "agreement_db": psnr_vs(frgb, exact_rgb),
+                     "psnr_vs_gt": psnr_vs(frgb, gt)})
+        r = rows[-1]
+        print(f"{r['config']}: {r['rays_per_sec'] / 1e3:.1f}K rays/s, "
+              f"agreement {r['agreement_db']:.2f} dB, "
+              f"vs GT {r['psnr_vs_gt']:.2f} dB", flush=True)
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump({"frame_rays": n, "train_steps": args.steps,
+                   "rows": rows}, f, indent=1)
+    print(f"wrote {args.out}")
+
+    print("\n| config | K rays/s | agreement | PSNR vs GT |")
+    print("|---|---|---|---|")
+    for r in rows:
+        agree = f"{r['agreement_db']:.2f} dB" if r["agreement_db"] else "—"
+        print(f"| {r['config']} | {r['rays_per_sec'] / 1e3:.0f}K | {agree} "
+              f"| {r['psnr_vs_gt']:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
