@@ -23,13 +23,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
-def test_two_process_training_keeps_replicas_identical():
+def _run_two_process(mode: str):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
-        subprocess.Popen([sys.executable, WORKER, str(pid), str(port)],
+        subprocess.Popen([sys.executable, WORKER, str(pid), str(port), mode],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
         for pid in (0, 1)
@@ -59,3 +58,15 @@ def test_two_process_training_keeps_replicas_identical():
     # both hosts computed the SAME global loss each step
     assert results[0].group(4) == results[1].group(4)
     assert results[0].group(5) == results[1].group(5)
+
+
+@pytest.mark.timeout(600)
+def test_two_process_training_keeps_replicas_identical():
+    _run_two_process("nerf")
+
+
+@pytest.mark.timeout(600)
+def test_two_process_eg3d_training_keeps_replicas_identical():
+    """Same DDP-consistency contract for the EG3D system: mapping +
+    synthesis + triplane render + w_avg EMA all under the 2-process mesh."""
+    _run_two_process("eg3d")
