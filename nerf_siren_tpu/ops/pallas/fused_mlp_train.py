@@ -439,3 +439,31 @@ def _vjp_bwd(res, dy):
 
 
 fused_field_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def make_fused_train_field_fn(rays_d: jax.Array):
+    """A render_rays `field_fn` backed by the fused training kernels.
+
+    rays_d: (R, 3) ray directions to close over (field_fn receives
+    pre-embedded directions, but the kernel embeds in-register). Training
+    only — the coarse pass under test_time=False is a FULL evaluation, so
+    dir_emb is always present; eval paths use the dedicated inference
+    renderers (render/fused.py). Zero-padded tail points receive zero
+    cotangents from the output slice, so they contribute nothing to the
+    accumulated gradients."""
+
+    def field_fn(p_model, xyz, dir_emb):
+        assert dir_emb is not None, (
+            "fused train field_fn serves full evaluations only "
+            "(training never takes the sigma-only path)")
+        r, s, _ = xyz.shape
+        n = r * s
+        pad = -n % TILE_T
+        flat = xyz.reshape(n, 3).T                         # (3, n)
+        xyzT = jnp.pad(flat, ((0, IN_ROWS - 3), (0, pad)))
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (r, s, 3)).reshape(n, 3).T
+        dirT = jnp.pad(dirs, ((0, IN_ROWS - 3), (0, pad)))
+        out = fused_field_train(p_model, xyzT, dirT)       # (8, n+pad)
+        return out[:4, :n].T.reshape(r, s, 4)
+
+    return field_fn

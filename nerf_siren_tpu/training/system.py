@@ -53,6 +53,7 @@ class NeRFSystem:
         siren_hidden: int = 256,
         siren_layers: int = 8,
         siren_z_dim: int = 100,
+        train_backend: str = "jnp",        # 'jnp' | 'fused'
     ):
         self.render_cfg = render_cfg
         self.train_cfg = train_cfg
@@ -66,6 +67,17 @@ class NeRFSystem:
         self.siren_hidden = siren_hidden
         self.siren_layers = siren_layers
         self.siren_z_dim = siren_z_dim
+        # 'fused': train through the VMEM-resident Pallas fwd+bwd kernels
+        # (ops/pallas/fused_mlp_train.py) — bf16 mixed precision, ~3x the
+        # field fwd+bwd (measured on-chip); eval/render keeps the jnp path.
+        # Restricted to the reference topology the kernel implements.
+        if train_backend == "fused":
+            assert field_type == "mlp" and nerf_cfg.width == 256 \
+                and nerf_cfg.depth == 8 and nerf_cfg.skips == (4,) \
+                and nerf_cfg.n_classes == 0, (
+                    "fused train backend supports the reference 8x256 "
+                    "skip-(4,) topology without a semantic head")
+        self.train_backend = train_backend
         self._train_step = None
         self._train_scan = None
         self._train_scan_batches = None
@@ -110,7 +122,14 @@ class NeRFSystem:
         render_cfg = self.render_cfg.replace(test_time=False)
         nerf_cfg = self.nerf_cfg
         tx, loss_fn = self.tx, self.loss_fn
-        field_fn_for = self._field_fn
+        if self.train_backend == "fused":
+            from nerf_siren_tpu.ops.pallas.fused_mlp_train import (
+                make_fused_train_field_fn)
+
+            def field_fn_for(rays):
+                return make_fused_train_field_fn(rays[:, 3:6])
+        else:
+            field_fn_for = self._field_fn
 
         def train_step(state: TrainState, rays: jax.Array, rgbs: jax.Array,
                        rng: jax.Array, cls_target: Optional[jax.Array] = None):

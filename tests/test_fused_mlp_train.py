@@ -122,6 +122,47 @@ def test_fused_train_grads_close_to_apply_nerf_autodiff():
         assert rel_l2 < 0.10, f"{path[0]}: rel L2 {rel_l2:.4f}"
 
 
+def test_fused_train_backend_trains():
+    """NeRFSystem(train_backend='fused'): steps run, loss decreases, and the
+    first step's loss matches the jnp backend to mixed-precision tolerance
+    (identical batch; the fused path computes the field in bf16)."""
+    from nerf_siren_tpu.config import RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.system import NeRFSystem
+
+    rng = np.random.default_rng(11)
+    n = 128
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([np.zeros((n, 3), np.float32), d,
+                           np.full((n, 1), 2, np.float32),
+                           np.full((n, 1), 6, np.float32)], -1)
+    rgbs = (0.5 + 0.5 * np.tanh(d)).astype(np.float32)
+    batch = {"rays": rays, "rgbs": rgbs}
+
+    def mk(backend):
+        sys_ = NeRFSystem(
+            RenderConfig(n_samples=8, n_importance=8, perturb=1.0,
+                         noise_std=0.0),
+            TrainConfig(lr=5e-3, batch_size=n, decay_step=(100,)),
+            NeRFConfig(), steps_per_epoch=8, train_backend=backend)
+        return sys_, sys_.init_state(jax.random.PRNGKey(0))
+
+    sys_f, state_f = mk("fused")
+    sys_j, state_j = mk("jnp")
+    key = jax.random.PRNGKey(1)
+    state_f, mf = sys_f.train_step(state_f, batch, key)
+    state_j, mj = sys_j.train_step(state_j, batch, key)
+    lf, lj = float(mf["train/loss"]), float(mj["train/loss"])
+    np.testing.assert_allclose(lf, lj, rtol=2e-2)
+
+    losses = [lf]
+    for _ in range(7):
+        state_f, mf = sys_f.train_step(state_f, batch, key)
+        losses.append(float(mf["train/loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"fused backend did not train: {losses}"
+
+
 def test_fused_train_multi_tile_accumulation():
     """Grad over 2 tiles == sum of per-tile grads (the in-kernel
     accumulator over grid steps)."""
