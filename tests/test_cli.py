@@ -143,6 +143,34 @@ def test_train_cli_semantic_d3(tmp_path_factory):
         os.chdir(cwd)
 
 
+def test_train_cli_fused_backend(tmp_path_factory, scene_root):
+    """--train_backend fused: one tiny epoch through the Pallas training
+    kernels (interpret mode on CPU) produces a finite-loss checkpoint."""
+    wd = tmp_path_factory.mktemp("train_fused")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from opt import get_opts
+        from train import main
+        state = main(get_opts([
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--img_wh", "40", "40",
+            "--N_samples", "8", "--N_importance", "8",
+            "--batch_size", "256",
+            "--num_epochs", "1",
+            "--lr", "1e-3",
+            "--decay_step", "100",
+            "--train_backend", "fused",
+            "--exp_name", "smoke_fused",
+        ]))
+        assert int(state.step) > 0
+        ckpts = glob.glob(os.path.join(wd, "ckpts", "smoke_fused", "*.msgpack"))
+        assert ckpts
+    finally:
+        os.chdir(cwd)
+
+
 def test_extract_color_mesh_cli(workdir, scene_root):
     """Mesh extraction end-to-end from a trained checkpoint."""
     wd, _ = workdir
