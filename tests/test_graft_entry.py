@@ -47,11 +47,19 @@ def test_dryrun_never_touches_default_backend():
 
 def test_entry_then_dryrun_same_process():
     """entry() may initialize the default backend first; the dryrun must still
-    run entirely on CPU devices afterwards (default_device pinning path)."""
+    run entirely on CPU devices afterwards (default_device pinning path).
+
+    The default platform is pinned to CPU inside the subprocess: what the
+    test guards is the dryrun's behavior AFTER backends are initialized,
+    which a CPU default exercises identically — and the machine's
+    sitecustomize force-registers the tunneled TPU platform (ignoring
+    JAX_PLATFORMS env), so an un-pinned subprocess hangs whenever the
+    tunnel is down."""
     proc = _run(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "import __graft_entry__\n"
         "fn, args = __graft_entry__.entry()\n"
-        "import jax\n"
         "out = jax.jit(fn)(*args)\n"
         "float(out['rgb_fine'].sum())\n"
         "__graft_entry__.dryrun_multichip(8)\n"
