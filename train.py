@@ -96,9 +96,13 @@ def validate(system, state, val_ds, writer, step: int, img_wh,
 
     w, h = img_wh
     losses, psnrs, cls_accs, mious = [], [], [], []
+    # multi-chip runs render validation frames sharded over the mesh
+    render = (system.render_sharded
+              if system.mesh.shape.get("data", 1) > 1
+              and hasattr(system, "render_sharded") else system.render)
     for i in range(min(len(val_ds), max_images)):
         sample = val_ds[i]
-        out = system.render(state.params, sample["rays"])
+        out = render(state.params, sample["rays"])
         key = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
         pred = out[key].reshape(h, w, 3)
         gt = sample["rgbs"].reshape(h, w, 3)
