@@ -162,6 +162,12 @@ def test_fused_train_backend_trains():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"fused backend did not train: {losses}"
 
+    # composes with the scanned trainer (lax.scan over the pallas kernels)
+    state_f, mf = sys_f.train_scan_batches(
+        state_f, np.stack([rays, rays]), np.stack([rgbs, rgbs]), key)
+    assert np.isfinite(float(mf["train/loss"]))
+    assert int(state_f.step) == 10
+
 
 def test_fused_train_multi_tile_accumulation():
     """Grad over 2 tiles == sum of per-tile grads (the in-kernel
