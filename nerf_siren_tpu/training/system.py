@@ -81,6 +81,7 @@ class NeRFSystem:
         self._train_step = None
         self._train_scan = None
         self._train_scan_batches = None
+        self._train_scan_importance = None
         self._render_fn = None
         self._render_sharded_fn = None
 
@@ -118,7 +119,7 @@ class NeRFSystem:
 
     # -- steps ----------------------------------------------------------------
 
-    def _make_pure_step(self):
+    def _make_pure_step(self, with_ray_errors: bool = False):
         render_cfg = self.render_cfg.replace(test_time=False)
         nerf_cfg = self.nerf_cfg
         tx, loss_fn = self.tx, self.loss_fn
@@ -150,6 +151,10 @@ class NeRFSystem:
                        for k, v in losses.items()}
             metrics["train/psnr"] = psnr(jax.lax.stop_gradient(out[rgb_key]), rgbs)
             new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+            if with_ray_errors:
+                err = jnp.mean(
+                    (jax.lax.stop_gradient(out[rgb_key]) - rgbs) ** 2, axis=-1)
+                return new_state, metrics, err
             return new_state, metrics
 
         return train_step
@@ -187,6 +192,58 @@ class NeRFSystem:
             self._train_scan = scan_fn
         return self._train_scan(state, jnp.asarray(pool_rays),
                                 jnp.asarray(pool_rgbs), rng, n_steps, bs)
+
+    def train_scan_importance(self, state: TrainState, pool_rays, pool_rgbs,
+                              rng: jax.Array, n_steps: int,
+                              batch_size: Optional[int] = None,
+                              alpha: float = 1.0,
+                              uniform_frac: float = 0.2):
+        """train_scan with LOSS-GUIDED ray sampling (one device program).
+
+        A device-resident per-ray error buffer (init: uniform) drives batch
+        selection: rays are drawn with probability ∝ (running error)^alpha,
+        mixed with a `uniform_frac` uniform floor so stale/zero-error rays
+        keep getting revisited; each step writes its batch's fresh per-ray
+        errors back. Spends compute on the rays the model still gets wrong
+        (hard surfaces, speculars) instead of converged background — the
+        standard efficient-ray-sampling idea, device-side so the whole loop
+        stays one compiled program. Opt-in accelerator: convergence
+        semantics differ from the reference's uniform epochs (which
+        train_step / train_scan_batches preserve).
+
+        Returns (state, metrics-of-last-step)."""
+        bs = batch_size or self.train_cfg.batch_size
+        if self._train_scan_importance is None:
+            pure = self._make_pure_step(with_ray_errors=True)
+
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               static_argnames=("n_steps", "bs", "alpha",
+                                                "uniform_frac"))
+            def scan_fn(state, rays, rgbs, rng, n_steps, bs, alpha,
+                        uniform_frac):
+                n = rays.shape[0]
+
+                def body(carry, key):
+                    st, buf = carry
+                    k_cat, k_uni, k_mix, k_step = jax.random.split(key, 4)
+                    logits = alpha * jnp.log(buf + 1e-8)
+                    idx_imp = jax.random.categorical(k_cat, logits, shape=(bs,))
+                    idx_uni = jax.random.randint(k_uni, (bs,), 0, n)
+                    take_uni = jax.random.uniform(k_mix, (bs,)) < uniform_frac
+                    idx = jnp.where(take_uni, idx_uni, idx_imp)
+                    st, ms, err = pure(st, rays[idx], rgbs[idx], k_step)
+                    return (st, buf.at[idx].set(err)), ms
+
+                buf0 = jnp.ones((n,), jnp.float32)
+                keys = jax.random.split(rng, n_steps)
+                (state, _), ms = jax.lax.scan(body, (state, buf0), keys)
+                return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+            self._train_scan_importance = scan_fn
+        return self._train_scan_importance(state, jnp.asarray(pool_rays),
+                                           jnp.asarray(pool_rgbs), rng,
+                                           n_steps, bs, float(alpha),
+                                           float(uniform_frac))
 
     def train_scan_batches(self, state: TrainState, rays_b, rgbs_b,
                            rng: jax.Array):

@@ -243,6 +243,53 @@ def test_train_scan_batches_matches_train_step_exactly():
                                    atol=1e-3)
 
 
+def test_train_scan_importance_focuses_hard_rays():
+    """Loss-guided sampling trains, and on a pool whose targets are hard
+    only in a small region it reaches a LOWER max-region error than the
+    uniform scan at equal step budget (the whole point of the feature)."""
+    import jax
+    import jax.numpy as jnp
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.system import NeRFSystem
+
+    rng = np.random.default_rng(5)
+    n = 1024
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([np.zeros((n, 3), np.float32), d,
+                           np.full((n, 1), 2, np.float32),
+                           np.full((n, 1), 6, np.float32)], -1)
+    # easy targets everywhere except a high-frequency hard patch
+    rgbs = np.full((n, 3), 0.5, np.float32)
+    hard = slice(0, 128)
+    rgbs[hard] = (0.5 + 0.5 * np.sin(37.0 * d[hard])).astype(np.float32)
+
+    def run(kind):
+        system = NeRFSystem(
+            RenderConfig(n_samples=8, n_importance=0, perturb=1.0,
+                         noise_std=0.0),
+            TrainConfig(lr=5e-3, batch_size=128, decay_step=(100,)),
+            NeRFConfig(depth=2, width=128), steps_per_epoch=40)
+        state = system.init_state(jax.random.PRNGKey(0))
+        if kind == "importance":
+            state, m = system.train_scan_importance(
+                state, rays, rgbs, jax.random.PRNGKey(1), 40,
+                alpha=1.0, uniform_frac=0.2)
+        else:
+            state, m = system.train_scan(state, rays, rgbs,
+                                         jax.random.PRNGKey(1), 40)
+        assert np.isfinite(float(m["train/loss"]))
+        out = system.render(state.params, rays[hard])
+        key = "rgb_fine" if "rgb_fine" in out else "rgb_coarse"
+        return float(np.mean((np.asarray(out[key]) - rgbs[hard]) ** 2))
+
+    err_imp = run("importance")
+    err_uni = run("uniform")
+    # importance sampling must not be WORSE on the hard region (it spends
+    # several times more batches there); allow noise headroom
+    assert err_imp < err_uni * 1.1, (err_imp, err_uni)
+
+
 def test_render_sharded_matches_single_device():
     """Multi-chip eval: rays sharded over the 8-device mesh render the same
     frame as the single-jit path, including an odd (non-divisible) count."""
