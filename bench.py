@@ -151,6 +151,28 @@ def main():
     float(m["train/loss"])
     train_step_s = (time.perf_counter() - t0) / 20
 
+    # fused Pallas training backend (ops/pallas/fused_mlp_train.py):
+    # bf16 field fwd+bwd in VMEM; guarded so a kernel regression degrades
+    # to a null metric instead of killing the whole bench
+    fused_step_s = None
+    try:
+        fsystem = NeRFSystem(
+            RenderConfig(n_samples=64, n_importance=128, perturb=1.0,
+                         noise_std=1.0, white_back=True),
+            TrainConfig(lr=5e-4, batch_size=1024, decay_step=(2, 4, 8)),
+            nerf_cfg, steps_per_epoch=1000, train_backend="fused")
+        f_state = fsystem.init_state(jax.random.PRNGKey(3))
+        for _ in range(5):
+            f_state, m = fsystem.train_step(f_state, batch, key)
+        float(m["train/loss"])
+        t0 = time.perf_counter()
+        for _ in range(20):
+            f_state, m = fsystem.train_step(f_state, batch, key)
+        float(m["train/loss"])
+        fused_step_s = (time.perf_counter() - t0) / 20
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"# fused train backend bench skipped: {e!r}", flush=True)
+
     # ---- BASELINE.md config 3: LLFF fern 504x378, NDC rays ---------------
     n_fern = 504 * 378
     d3 = rng.normal(size=(n_fern, 3)).astype(np.float32)
@@ -298,6 +320,8 @@ def main():
             "fast_p50_frame_latency_aggressive_s": round(fast_fast_lat, 4),
             "fast_p50_frame_latency_culled_s": round(fast_cull_lat, 4),
             "train_step_s_batch1024_64c128f": round(train_step_s, 4),
+            "train_step_fused_backend_s": (round(fused_step_s, 4)
+                                           if fused_step_s else None),
             "train_step_note": "reference reports 0.12 s/step for the same "
                                "recipe on one RTX 2080 Ti (README.md:138-144)",
             "cfg3_fern_ndc_rays_per_sec": round(fern_rays_per_sec, 1),
