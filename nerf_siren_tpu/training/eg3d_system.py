@@ -56,6 +56,7 @@ class EG3DSystem:
         self._train_step = None
         self._train_scan = None
         self._train_scan_batches = None
+        self._train_scan_importance = None
         self._render_fn = None
         self._render_sharded_fn = None
 
@@ -69,7 +70,7 @@ class EG3DSystem:
                            opt_state=self.tx.init(params))
         return replicate(state, self.mesh)
 
-    def _make_pure_step(self):
+    def _make_pure_step(self, with_ray_errors: bool = False):
         cfg, tx = self.cfg, self.tx
 
         def train_step(state: TrainState, rays, rgbs, rng):
@@ -100,8 +101,14 @@ class EG3DSystem:
                 + jnp.mean((out["rgb_coarse"] - rgbs) ** 2),
                 "train/psnr": psnr(jax.lax.stop_gradient(out["rgb_fine"]), rgbs),
             }
-            return TrainState(step=state.step + 1, params=params,
-                              opt_state=opt_state), metrics
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state)
+            if with_ray_errors:
+                err = jnp.mean(
+                    (jax.lax.stop_gradient(out["rgb_fine"]) - rgbs) ** 2,
+                    axis=-1)
+                return new_state, metrics, err
+            return new_state, metrics
 
         return train_step
 
@@ -144,6 +151,23 @@ class EG3DSystem:
             self._train_scan = scan_fn
         return self._train_scan(state, jnp.asarray(pool_rays),
                                 jnp.asarray(pool_rgbs), rng, n_steps, bs)
+
+    def train_scan_importance(self, state, pool_rays, pool_rgbs,
+                              rng: jax.Array, n_steps: int,
+                              batch_size: Optional[int] = None,
+                              alpha: float = 1.0, uniform_frac: float = 0.2):
+        """Loss-guided ray sampling scan (see NeRFSystem.train_scan_importance)
+        — particularly effective for the single-scene EG3D overfit, whose
+        frames are mostly background the model converges on early."""
+        from nerf_siren_tpu.training.system import make_scan_importance
+        bs = batch_size or self.train_cfg.batch_size
+        if self._train_scan_importance is None:
+            self._train_scan_importance = make_scan_importance(
+                self._make_pure_step(with_ray_errors=True))
+        return self._train_scan_importance(state, jnp.asarray(pool_rays),
+                                           jnp.asarray(pool_rgbs), rng,
+                                           n_steps, bs, float(alpha),
+                                           float(uniform_frac))
 
     def train_scan_batches(self, state, rays_b, rgbs_b, rng: jax.Array):
         """One device program over pre-batched (n_steps, batch, ...) data —

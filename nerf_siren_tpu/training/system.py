@@ -214,32 +214,8 @@ class NeRFSystem:
         Returns (state, metrics-of-last-step)."""
         bs = batch_size or self.train_cfg.batch_size
         if self._train_scan_importance is None:
-            pure = self._make_pure_step(with_ray_errors=True)
-
-            @functools.partial(jax.jit, donate_argnums=(0,),
-                               static_argnames=("n_steps", "bs", "alpha",
-                                                "uniform_frac"))
-            def scan_fn(state, rays, rgbs, rng, n_steps, bs, alpha,
-                        uniform_frac):
-                n = rays.shape[0]
-
-                def body(carry, key):
-                    st, buf = carry
-                    k_cat, k_uni, k_mix, k_step = jax.random.split(key, 4)
-                    logits = alpha * jnp.log(buf + 1e-8)
-                    idx_imp = jax.random.categorical(k_cat, logits, shape=(bs,))
-                    idx_uni = jax.random.randint(k_uni, (bs,), 0, n)
-                    take_uni = jax.random.uniform(k_mix, (bs,)) < uniform_frac
-                    idx = jnp.where(take_uni, idx_uni, idx_imp)
-                    st, ms, err = pure(st, rays[idx], rgbs[idx], k_step)
-                    return (st, buf.at[idx].set(err)), ms
-
-                buf0 = jnp.ones((n,), jnp.float32)
-                keys = jax.random.split(rng, n_steps)
-                (state, _), ms = jax.lax.scan(body, (state, buf0), keys)
-                return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
-
-            self._train_scan_importance = scan_fn
+            self._train_scan_importance = make_scan_importance(
+                self._make_pure_step(with_ray_errors=True))
         return self._train_scan_importance(state, jnp.asarray(pool_rays),
                                            jnp.asarray(pool_rgbs), rng,
                                            n_steps, bs, float(alpha),
@@ -345,6 +321,37 @@ class NeRFSystem:
 
     def current_lr(self, state: TrainState) -> float:
         return float(self.lr_schedule(int(state.step)))
+
+
+def make_scan_importance(pure_err_step):
+    """jit a loss-guided-sampling lax.scan (see train_scan_importance).
+
+    `pure_err_step` is (state, rays, rgbs, rng) -> (state, metrics,
+    per-ray-error); shared by NeRFSystem and EG3DSystem."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("n_steps", "bs", "alpha",
+                                        "uniform_frac"))
+    def scan_fn(state, rays, rgbs, rng, n_steps, bs, alpha, uniform_frac):
+        n = rays.shape[0]
+
+        def body(carry, key):
+            st, buf = carry
+            k_cat, k_uni, k_mix, k_step = jax.random.split(key, 4)
+            logits = alpha * jnp.log(buf + 1e-8)
+            idx_imp = jax.random.categorical(k_cat, logits, shape=(bs,))
+            idx_uni = jax.random.randint(k_uni, (bs,), 0, n)
+            take_uni = jax.random.uniform(k_mix, (bs,)) < uniform_frac
+            idx = jnp.where(take_uni, idx_uni, idx_imp)
+            st, ms, err = pure_err_step(st, rays[idx], rgbs[idx], k_step)
+            return (st, buf.at[idx].set(err)), ms
+
+        buf0 = jnp.ones((n,), jnp.float32)
+        keys = jax.random.split(rng, n_steps)
+        (state, _), ms = jax.lax.scan(body, (state, buf0), keys)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    return scan_fn
 
 
 def make_scan_batches(pure_step):

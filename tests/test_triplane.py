@@ -186,6 +186,32 @@ def test_eg3d_system_trains(rng):
     assert out["rgb_fine"].shape == (32, 3)
 
 
+def test_eg3d_train_scan_importance(rng):
+    """EG3D loss-guided scan: trains in one program with finite loss."""
+    from nerf_siren_tpu.config import RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.eg3d_system import EG3DSystem
+
+    system = EG3DSystem(RenderConfig(), TrainConfig(lr=1e-2, decay_step=(100,)),
+                        steps_per_epoch=4, triplane_cfg=TINY)
+    n = 256
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = -2.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([o, d], -1).astype(np.float32)
+    rgbs = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    state = system.init_state(jax.random.PRNGKey(0))
+    state, m0 = system.train_scan_importance(
+        state, rays, rgbs, jax.random.PRNGKey(1), 2, batch_size=64)
+    state, m1 = system.train_scan_importance(
+        state, rays, rgbs, jax.random.PRNGKey(2), 10, batch_size=64)
+    assert int(state.step) == 12
+    assert np.isfinite(float(m1["train/loss"]))
+    assert float(m1["train/loss"]) < float(m0["train/loss"]) * 2  # sane
+
+
 def test_eg3d_render_sharded_matches_single(rng):
     """EG3DSystem.render_sharded over the 8-device mesh reproduces render()
     (bf16 packed tables both paths). Coarse outputs strict; fine outputs
