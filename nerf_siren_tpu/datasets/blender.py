@@ -70,25 +70,28 @@ class BlenderDataset:
         self.directions = get_ray_directions(h, w, self.focal)
 
         if self.split == "train":
-            rays_list, rgbs_list = [], []
-            self.image_paths = []
-            self.poses = []
-            for frame in self.meta["frames"]:
+            from nerf_siren_tpu.utils.data import parallel_map
+
+            def build(frame):
+                """Per-frame decode + ray precompute; PIL/numpy release
+                the GIL, so frames load in parallel threads."""
                 c2w = np.asarray(frame["transform_matrix"], np.float32)[:3, :4]
-                self.poses.append(c2w)
-                image_path = os.path.join(self.root_dir, f"{frame['file_path']}.png")
-                self.image_paths.append(image_path)
+                image_path = os.path.join(self.root_dir,
+                                          f"{frame['file_path']}.png")
                 rgb, _ = _load_blended_image(image_path, self.img_wh)
-                rgbs_list.append(rgb)
                 rays_o, rays_d = get_rays(self.directions, c2w)
                 n = rays_o.shape[0]
-                rays_list.append(np.concatenate(
+                rays = np.concatenate(
                     [rays_o, rays_d,
                      np.full((n, 1), self.near, np.float32),
-                     np.full((n, 1), self.far, np.float32)], 1))
-            self.all_rays = np.concatenate(rays_list, 0)
-            self.all_rgbs = np.concatenate(rgbs_list, 0)
-            self.poses = np.stack(self.poses, 0)
+                     np.full((n, 1), self.far, np.float32)], 1)
+                return c2w, image_path, rays, rgb
+
+            built = parallel_map(build, self.meta["frames"])
+            self.poses = np.stack([b[0] for b in built], 0)
+            self.image_paths = [b[1] for b in built]
+            self.all_rays = np.concatenate([b[2] for b in built], 0)
+            self.all_rgbs = np.concatenate([b[3] for b in built], 0)
 
     def __len__(self):
         if self.split == "train":

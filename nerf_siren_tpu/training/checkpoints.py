@@ -111,6 +111,38 @@ def save_train_state(path: str, state: Any, epoch: int) -> None:
     save_checkpoint(path, tree)
 
 
+class AsyncCheckpointer:
+    """Overlap checkpoint IO with training.
+
+    The device→host fetch (`_to_numpy`) runs on the CALLING thread — it
+    must see a consistent state — and only the serialize + atomic write
+    are handed to a single background worker. `wait()` joins the last
+    pending write; pending writes are serialized (one worker) so top-K
+    retention logic downstream sees files appear in save order. A large
+    EG3D train state is ~115 MB (~1 s of msgpack + disk), which this hides
+    behind the next epoch's compute."""
+
+    def __init__(self):
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._last = None
+
+    def save_train_state(self, path: str, state: Any, epoch: int) -> None:
+        tree = {
+            "params": params_to_named(_to_numpy(state.params)),
+            "opt_state": serialization.to_state_dict(_to_numpy(state.opt_state)),
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(epoch),
+        }
+        self._last = self._pool.submit(save_checkpoint, path, tree)
+
+    def wait(self) -> None:
+        if self._last is not None:
+            self._last.result()
+            self._last = None
+
+
 def restore_train_state(path: str, state_template: Any):
     """Restore (TrainState, next_epoch) into the template's structure."""
     ckpt = load_checkpoint(path)

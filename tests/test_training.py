@@ -86,6 +86,34 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path):
                                np.asarray(fresh["sigma"]["kernel"]))
 
 
+def test_async_checkpointer_roundtrip(tmp_path):
+    """AsyncCheckpointer writes a file restore_train_state can read, and
+    wait() makes it durable; saving twice reuses the single worker."""
+    import jax
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.checkpoints import (AsyncCheckpointer,
+                                                     restore_train_state)
+    from nerf_siren_tpu.training.system import NeRFSystem
+
+    system = NeRFSystem(RenderConfig(n_samples=4, n_importance=0),
+                        TrainConfig(batch_size=8),
+                        NeRFConfig(depth=2, width=32), steps_per_epoch=1)
+    state = system.init_state(jax.random.PRNGKey(0))
+    ck = AsyncCheckpointer()
+    p1 = str(tmp_path / "a.msgpack")
+    p2 = str(tmp_path / "b.msgpack")
+    ck.save_train_state(p1, state, epoch=3)
+    ck.save_train_state(p2, state, epoch=4)
+    ck.wait()
+    restored, epoch = restore_train_state(p2, state)
+    assert epoch == 4
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    _, epoch1 = restore_train_state(p1, state)
+    assert epoch1 == 3
+
+
 def test_merge_params_shape_mismatch():
     params = {"a": np.zeros((2, 2)), "b": np.zeros(3)}
     loaded = {"a": np.ones((2, 2)), "b": np.ones(4)}  # b mismatched

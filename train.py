@@ -202,6 +202,7 @@ def main(hparams):
     ckpt_dir = os.path.join("ckpts", hparams.exp_name)
     os.makedirs(ckpt_dir, exist_ok=True)
     saved: list = []  # (val_loss, path)
+    checkpointer = ckpt_lib.AsyncCheckpointer()
 
     rng = jax.random.PRNGKey(hparams.seed + 1)
     extras = {"cls": train_ds.all_cls} if hasattr(train_ds, "all_cls") else None
@@ -267,9 +268,13 @@ def main(hparams):
                 # join a jit over the global mesh; rank by train loss instead
                 val_loss = float(metrics.get("train/loss", 0.0))
             path = os.path.join(ckpt_dir, f"epoch={epoch}-step={step}.msgpack")
-            ckpt_lib.save_train_state(path, state, epoch + 1)
+            # async: serialize+write overlap the next epoch's compute (the
+            # device->host fetch happens here, so the snapshot is consistent)
+            checkpointer.save_train_state(path, state, epoch + 1)
             saved.append((val_loss, path))
             saved.sort(key=lambda t: t[0])
+            if len(saved) > hparams.save_topk:
+                checkpointer.wait()  # never unlink a still-writing file
             for _, stale in saved[hparams.save_topk:]:
                 if os.path.exists(stale):
                     os.remove(stale)
@@ -277,6 +282,7 @@ def main(hparams):
         if primary:
             print(line, flush=True)
 
+    checkpointer.wait()  # all checkpoint files durable before returning
     if writer is not None:
         writer.close()
     return state
