@@ -78,14 +78,16 @@ class LLFFDataset:
         self.directions = get_ray_directions(self.img_wh[1], self.img_wh[0], self.focal)
 
         if self.split == "train":
-            rays_list, rgbs_list = [], []
-            for i, image_path in enumerate(self.image_paths):
-                if i == self.val_idx:
-                    continue
-                rgbs_list.append(_load_rgb(image_path, self.img_wh))
-                rays_list.append(self._rays_for_pose(self.poses[i]))
-            self.all_rays = np.concatenate(rays_list, 0)
-            self.all_rgbs = np.concatenate(rgbs_list, 0)
+            from nerf_siren_tpu.utils.data import parallel_map
+
+            train_ids = [i for i in range(len(self.image_paths))
+                         if i != self.val_idx]
+            built = parallel_map(
+                lambda i: (_load_rgb(self.image_paths[i], self.img_wh),
+                           self._rays_for_pose(self.poses[i])),
+                train_ids)
+            self.all_rays = np.concatenate([b[1] for b in built], 0)
+            self.all_rgbs = np.concatenate([b[0] for b in built], 0)
         elif self.split == "val":
             self.c2w_val = self.poses[self.val_idx]
             self.image_path_val = self.image_paths[self.val_idx]

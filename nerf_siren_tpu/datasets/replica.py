@@ -100,28 +100,33 @@ class ReplicaDatasetCache:
         self.bounds = np.array([self.near, self.far], np.float32)
 
     def _load_frames(self, ids):
-        images, depths, semantics, poses = [], [], [], []
-        for idx in ids:
+        from nerf_siren_tpu.utils.data import parallel_map
+
+        def load_one(idx):
+            """cv2 decode/resize releases the GIL; frames load in parallel."""
             img = cv2.imread(self.rgb_list[idx])[:, :, ::-1] / 255.0
             if img.shape[:2] != (self.H, self.W):
                 img = cv2.resize(img, (self.W, self.H), interpolation=cv2.INTER_LINEAR)
-            images.append(img.astype(np.float32))
+            depth = sem = None
             if self.depth_list:
                 depth = cv2.imread(self.depth_list[idx], cv2.IMREAD_UNCHANGED) / 1000.0
                 if depth.shape[:2] != (self.H, self.W):
                     depth = cv2.resize(depth, (self.W, self.H), interpolation=cv2.INTER_LINEAR)
-                depths.append(depth.astype(np.float32))
+                depth = depth.astype(np.float32)
             if self.semantic_list:
                 sem = cv2.imread(self.semantic_list[idx], cv2.IMREAD_UNCHANGED)
                 if sem.shape[:2] != (self.H, self.W):
                     sem = cv2.resize(sem, (self.W, self.H), interpolation=cv2.INTER_NEAREST)
-                semantics.append(sem.astype(np.int32))
-            poses.append(self.Ts_full[idx])
+                sem = sem.astype(np.int32)
+            return img.astype(np.float32), depth, sem, self.Ts_full[idx]
 
-        self.poses = np.stack(poses)
-        self.images = np.stack(images)
-        self.depths = np.stack(depths) if depths else None
-        self.semantics = np.stack(semantics) if semantics else None
+        built = parallel_map(load_one, ids)
+        self.poses = np.stack([b[3] for b in built])
+        self.images = np.stack([b[0] for b in built])
+        self.depths = (np.stack([b[1] for b in built])
+                       if self.depth_list else None)
+        self.semantics = (np.stack([b[2] for b in built])
+                          if self.semantic_list else None)
 
         rays = create_rays(self.poses, self.H, self.W, self.fx, self.fy,
                            self.cx, self.cy, self.near, self.far, self.convention)
