@@ -46,9 +46,11 @@ class BlenderClsImgBatchDataset(BlenderDataset):
     def read_meta(self):
         super().read_meta()
         if self.split == "train":
-            labels = []
-            for frame in self.meta["frames"]:
-                labels.append(self._load_label(self._label_path(frame)))
+            from nerf_siren_tpu.utils.data import parallel_map
+
+            labels = parallel_map(
+                lambda frame: self._load_label(self._label_path(frame)),
+                self.meta["frames"])
             self.all_cls = np.concatenate(labels, 0)
             w, h = self.img_wh
             self.n_px = w * h

@@ -90,20 +90,27 @@ class LLFFClsDataset(LLFFDataset):
                 self.parse_path_val = raws[self.val_idx] if raws else None
 
     def _build_train_buffers(self):
-        rays_list, rgbs_list, parse_list = [], [], []
+        from nerf_siren_tpu.utils.data import parallel_map
+
+        selected = []
         for i, image_path in enumerate(self.image_paths):
             if i == self.val_idx:
                 continue
-            ids = self._frame_id(image_path)
-            if ids not in self.edited_ids:
+            if self._frame_id(image_path) not in self.edited_ids:
                 continue
             name = os.path.basename(image_path).split(".")[0]
             parse_path = os.path.join(self.root_dir, f"edit_parse/{name}.png")
             if not os.path.exists(parse_path):
                 continue
-            rgbs_list.append(_load_rgb(image_path, self.img_wh))
-            parse_list.append(self._load_parse(parse_path))
-            rays_list.append(self._rays_for_pose(self.poses[i]))
+            selected.append((i, image_path, parse_path))
+        built = parallel_map(
+            lambda s: (_load_rgb(s[1], self.img_wh),
+                       self._load_parse(s[2]),
+                       self._rays_for_pose(self.poses[s[0]])),
+            selected)
+        rgbs_list = [b[0] for b in built]
+        parse_list = [b[1] for b in built]
+        rays_list = [b[2] for b in built]
         if not rays_list:
             raise FileNotFoundError(
                 f"no edited frames with edit_parse labels found in {self.root_dir}")
