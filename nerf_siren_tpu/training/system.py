@@ -82,6 +82,7 @@ class NeRFSystem:
         self._train_scan = None
         self._train_scan_batches = None
         self._train_scan_importance = None
+        self._train_accum = None
         self._render_fn = None
         self._render_sharded_fn = None
 
@@ -192,6 +193,75 @@ class NeRFSystem:
             self._train_scan = scan_fn
         return self._train_scan(state, jnp.asarray(pool_rays),
                                 jnp.asarray(pool_rgbs), rng, n_steps, bs)
+
+    def train_step_accum(self, state: TrainState, batch: Dict[str, np.ndarray],
+                         rng: jax.Array, n_micro: int):
+        """One optimizer update from `n_micro` sequential micro-batches.
+
+        Trains effective batches larger than memory allows (the whole
+        (rays × samples) activation slab never exceeds one micro-batch):
+        gradients are averaged across micro-batches inside a lax.scan,
+        then applied once. The batch's leading dim must divide by n_micro.
+        Loss/psnr metrics are micro-batch means."""
+        if self._train_accum is None:
+            render_cfg = self.render_cfg.replace(test_time=False)
+            nerf_cfg, tx, loss_fn = self.nerf_cfg, self.tx, self.loss_fn
+            field_fn_for = self._field_fn
+            if self.train_backend == "fused":
+                from nerf_siren_tpu.ops.pallas.fused_mlp_train import (
+                    make_fused_train_field_fn)
+
+                def field_fn_for(rays):
+                    return make_fused_train_field_fn(rays[:, 3:6])
+
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               static_argnames=("n_micro",))
+            def step(state, rays_m, rgbs_m, rng, n_micro):
+                step_rng = jax.random.fold_in(rng, state.step)
+
+                def micro(carry, xs):
+                    grads_acc, loss_acc, psnr_acc = carry
+                    r, c = xs
+
+                    def compute_loss(params):
+                        out = render_rays(params, r, render_cfg, step_rng,
+                                          nerf_cfg=nerf_cfg,
+                                          field_fn=field_fn_for(r))
+                        rgb_key = ("rgb_fine" if "rgb_fine" in out
+                                   else "rgb_coarse")
+                        return loss_fn(out, c)["sum"], out[rgb_key]
+
+                    (loss, pred), grads = jax.value_and_grad(
+                        compute_loss, has_aux=True)(state.params)
+                    grads_acc = jax.tree_util.tree_map(
+                        lambda a, g: a + g / n_micro, grads_acc, grads)
+                    return (grads_acc, loss_acc + loss / n_micro,
+                            psnr_acc + psnr(pred, c) / n_micro), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                (grads, loss, mpsnr), _ = jax.lax.scan(
+                    micro, (zeros, jnp.zeros(()), jnp.zeros(())),
+                    (rays_m, rgbs_m))
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                                state.params, updates)
+                metrics = {"train/loss": loss, "train/psnr": mpsnr}
+                return TrainState(step=state.step + 1, params=params,
+                                  opt_state=opt_state), metrics
+
+            self._train_accum = step
+        # micro-batch on the host, then place with the batch dim (axis 1)
+        # split across devices — each device sees its slice of every
+        # micro-batch (same layout train_step's shard_rays would give it)
+        rays = np.asarray(batch["rays"])
+        rgbs = np.asarray(batch["rgbs"])
+        assert rays.shape[0] % n_micro == 0, "batch must divide by n_micro"
+        rays_m, rgbs_m = shard_batched(
+            {"rays": jnp.asarray(rays.reshape(n_micro, -1, rays.shape[-1])),
+             "rgbs": jnp.asarray(rgbs.reshape(n_micro, -1, rgbs.shape[-1]))},
+            self.mesh)
+        return self._train_accum(state, rays_m, rgbs_m, rng, n_micro)
 
     def train_scan_importance(self, state: TrainState, pool_rays, pool_rgbs,
                               rng: jax.Array, n_steps: int,

@@ -271,6 +271,45 @@ def test_train_scan_batches_matches_train_step_exactly():
                                    atol=1e-3)
 
 
+def test_train_step_accum_matches_full_batch():
+    """Gradient accumulation over micro-batches reproduces the full-batch
+    update (mean-of-micro-means == full mean for equal micro sizes)."""
+    import jax
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.system import NeRFSystem
+
+    rng = np.random.default_rng(9)
+    n = 256
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate([np.zeros((n, 3), np.float32), d,
+                           np.full((n, 1), 2, np.float32),
+                           np.full((n, 1), 6, np.float32)], -1)
+    rgbs = (0.5 + 0.5 * np.tanh(d)).astype(np.float32)
+    batch = {"rays": rays, "rgbs": rgbs}
+
+    def mk():
+        system = NeRFSystem(
+            RenderConfig(n_samples=8, n_importance=0, perturb=0.0,
+                         noise_std=0.0),
+            TrainConfig(lr=5e-3, batch_size=n, decay_step=(100,)),
+            NeRFConfig(depth=2, width=64), steps_per_epoch=4)
+        return system, system.init_state(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(1)
+    sys_a, state_a = mk()
+    state_a, m_a = sys_a.train_step(state_a, batch, key)
+    sys_b, state_b = mk()
+    state_b, m_b = sys_b.train_step_accum(state_b, batch, key, n_micro=4)
+
+    np.testing.assert_allclose(float(m_a["train/loss"]),
+                               float(m_b["train/loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_train_scan_importance_focuses_hard_rays():
     """Loss-guided sampling trains, and on a pool whose targets are hard
     only in a small region it reaches a LOWER max-region error than the
