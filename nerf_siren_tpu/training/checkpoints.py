@@ -126,21 +126,33 @@ class AsyncCheckpointer:
         import concurrent.futures
 
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        self._last = None
+        self._pending: list = []
+
+    def _drain_done(self) -> None:
+        # surface background write failures (disk full, permissions) instead
+        # of silently keeping phantom paths in the caller's top-K list
+        still_pending = []
+        for fut in self._pending:
+            if fut.done():
+                fut.result()  # raises here if the write failed
+            else:
+                still_pending.append(fut)
+        self._pending = still_pending
 
     def save_train_state(self, path: str, state: Any, epoch: int) -> None:
+        self._drain_done()
         tree = {
             "params": params_to_named(_to_numpy(state.params)),
             "opt_state": serialization.to_state_dict(_to_numpy(state.opt_state)),
             "step": np.asarray(state.step),
             "epoch": np.asarray(epoch),
         }
-        self._last = self._pool.submit(save_checkpoint, path, tree)
+        self._pending.append(self._pool.submit(save_checkpoint, path, tree))
 
     def wait(self) -> None:
-        if self._last is not None:
-            self._last.result()
-            self._last = None
+        pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
 
 
 def restore_train_state(path: str, state_template: Any):

@@ -445,12 +445,22 @@ def make_scan_batches(pure_step):
 def shard_batched(batch, mesh: Mesh, axis: str = "data"):
     """Place (n_steps, batch, ...) arrays with the BATCH dim (axis 1) split
     across devices — the scan carries per-step slices already sharded the
-    way train_step's shard_rays lays out a single batch."""
+    way train_step's shard_rays lays out a single batch.
+
+    Multi-process: each host passes its LOCAL rows (n_steps, local_bs, ...)
+    and they become that host's addressable shards of the global batch —
+    same contract as parallel.mesh.shard_rays (a plain device_put here
+    would mistake the local rows for the full global array and build
+    inconsistent replicas across hosts)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P(None, axis))
-    out = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() > 1:
+        put = functools.partial(
+            jax.make_array_from_process_local_data, sharding)
+    else:
+        put = functools.partial(jax.device_put, device=sharding)
+    out = jax.tree_util.tree_map(put, batch)
     return tuple(out[k] for k in ("rays", "rgbs"))
 
 
@@ -466,6 +476,11 @@ def epoch_iterator(all_rays: np.ndarray, all_rgbs: np.ndarray, batch_size: int,
     batch_size/num_shards LOCAL rows per step, deterministically aligned so
     all hosts yield the same number of batches per epoch."""
     n = all_rays.shape[0]
+    if num_shards > 1 and batch_size % num_shards != 0:
+        raise ValueError(
+            f"batch_size ({batch_size}) must divide evenly by the number of "
+            f"data shards ({num_shards}) so every host feeds the same local "
+            f"row count; pick a batch size that is a multiple of {num_shards}")
     local = np.arange(shard_index, n, num_shards)
     rng = np.random.default_rng(np.random.SeedSequence([seed, epoch, shard_index]))
     perm = rng.permutation(local)

@@ -226,6 +226,7 @@ def main(hparams):
     for epoch in range(start_epoch, hparams.num_epochs):
         t0 = time.time()
         metrics: Dict = {}
+        loss_samples: list = []  # device scalars; fetched once per epoch
         if use_scan:
             # group batches into one lax.scan program per `spd` steps —
             # identical math to per-batch train_step (same rng each call;
@@ -239,14 +240,20 @@ def main(hparams):
                 group.append(batch)
                 if len(group) == spd:
                     state, metrics = flush_group(state, group)
+                    loss_samples.append(
+                        metrics.get("train/loss", metrics.get("train/total_loss")))
                     group = []
             if group:  # epoch tail (one extra trace at most, same each epoch)
                 state, metrics = flush_group(state, group)
+                loss_samples.append(
+                    metrics.get("train/loss", metrics.get("train/total_loss")))
         else:
             for batch in epoch_iterator(train_ds.all_rays, train_ds.all_rgbs,
                                         hparams.batch_size, hparams.seed, epoch, extras,
                                         shard_index=shard_index, num_shards=num_shards):
                 state, metrics = system.train_step(state, batch, rng)
+                loss_samples.append(
+                    metrics.get("train/loss", metrics.get("train/total_loss")))
         step = int(state.step)
         if writer is not None:
             for k, v in metrics.items():
@@ -265,8 +272,11 @@ def main(hparams):
                 line += f" val/loss={val_loss:.4f} val/psnr={val_psnr:.2f}"
             else:
                 # image validation renders process-local arrays, which cannot
-                # join a jit over the global mesh; rank by train loss instead
-                val_loss = float(metrics.get("train/loss", 0.0))
+                # join a jit over the global mesh; rank by the EPOCH-MEAN
+                # train loss (a single final batch is too noisy to decide
+                # top-K retention — it can evict the best checkpoint)
+                val_loss = (float(sum(loss_samples)) / len(loss_samples)
+                            if loss_samples else 0.0)
             path = os.path.join(ckpt_dir, f"epoch={epoch}-step={step}.msgpack")
             # async: serialize+write overlap the next epoch's compute (the
             # device->host fetch happens here, so the snapshot is consistent)
