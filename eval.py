@@ -4,6 +4,12 @@ Loads nerf_coarse/nerf_fine from a checkpoint by name prefix, renders every
 item of the chosen split with the sigma-only coarse fast path, writes PNG
 frames + an animated GIF, optional PFM depth dumps, and the mean PSNR when
 ground truth exists.
+
+Semantic mode (--mode d3, reference eval.py:122-174): additionally loads the
+points model ('points' prefix), routes through render_rays_3d, writes the
+reference's r_<i>.png class maps (class id x 10) plus color_cls overlays
+into <scene_name>_cls_map/, and reports pixel accuracy + mIoU when the
+dataset provides labels.
 """
 from __future__ import annotations
 
@@ -71,6 +77,24 @@ def get_opts(args=None):
     parser.add_argument('--fast_cull_margin', type=float, default=1.2,
                         help="auto-cull budget headroom over the measured "
                              "foreground ray count")
+    parser.add_argument('--fast_proxy_path', type=str, default=None,
+                        help="where to persist the distilled density proxy "
+                             "(default: <ckpt_path>.proxy.msgpack). Reused "
+                             "when it matches the checkpoint hash + distill "
+                             "config, so repeated evals skip the ~500-step "
+                             "distillation; pass 'none' to disable")
+    parser.add_argument('--mode', type=str, default='normal',
+                        choices=['normal', 'd3'],
+                        help="'d3' = semantic evaluation: load the points "
+                             "model, render class maps through render_rays_3d "
+                             "(reference eval.py:122-174)")
+    parser.add_argument('--semantic_network', type=str, default='pointnet',
+                        choices=['pointnet', 'conv3d'])
+    parser.add_argument('--n_classes', type=int, default=6,
+                        help='semantic class count (reference hardcodes 6)')
+    parser.add_argument('--point_capacity', type=int, default=8192,
+                        help='fixed point-cloud capacity for the semantic '
+                             'network (render_rays_3d top-K redesign)')
     return parser.parse_args(args)
 
 
@@ -110,7 +134,53 @@ def main(hparams):
         params['fine'] = load_ckpt(init_nerf(jax.random.PRNGKey(1), nerf_cfg),
                                    hparams.ckpt_path, 'nerf_fine')
 
-    if hparams.renderer == 'fast':
+    if hparams.renderer == 'fused' and not render_cfg.test_time:
+        # fused kernel needs the sigma-only test_time coarse pass; with
+        # N_importance == 0 fall back LOUDLY instead of silently changing
+        # the user's renderer choice (exact path is value-identical)
+        print('NOTE: --renderer fused requires N_importance > 0 '
+              '(test_time coarse pass); falling back to the exact renderer',
+              flush=True)
+        hparams.renderer = 'exact'
+
+    if hparams.mode == 'd3':
+        # semantic evaluation (reference eval.py:122-150): points model by
+        # prefix, exact render through render_rays_3d; class maps written in
+        # the frame loop below
+        from nerf_siren_tpu.render.rendering_3d import render_rays_3d
+
+        if hparams.semantic_network == 'pointnet':
+            from nerf_siren_tpu.models.pointnet import (
+                apply_pointnet_dense_cls, init_pointnet_dense_cls)
+            points0 = init_pointnet_dense_cls(
+                jax.random.PRNGKey(2), k=hparams.n_classes, inc=6)
+            points_apply = apply_pointnet_dense_cls
+        else:
+            from nerf_siren_tpu.models.voxel_unet import (
+                apply_voxel_unet_points, init_voxel_unet)
+            points0 = init_voxel_unet(jax.random.PRNGKey(2), in_channels=7,
+                                      out_channels=hparams.n_classes)
+            points_apply = apply_voxel_unet_points
+        params['points'] = load_ckpt(points0, hparams.ckpt_path, 'points')
+        sem_kwargs = dict(n_classes=hparams.n_classes,
+                          point_capacity=hparams.point_capacity,
+                          no_grad_on_nerf=False, points_apply=points_apply,
+                          compute_dtype=compute_dtype)
+
+        @jax.jit
+        def render(params, rays):
+            n = rays.shape[0]
+            chunk = min(hparams.chunk, n)
+            n_tiles = -(-n // chunk)
+            tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
+            tiles = tiles.reshape(n_tiles, chunk, 8)
+            out = jax.lax.map(
+                lambda t: render_rays_3d(params, t, render_cfg, None,
+                                         nerf_cfg=nerf_cfg, **sem_kwargs),
+                tiles)
+            return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+                    for k, v in out.items()}
+    elif hparams.renderer == 'fast':
         from nerf_siren_tpu.models.embedding import positional_encoding
         from nerf_siren_tpu.models.nerf import apply_nerf
         from nerf_siren_tpu.render.fast import (
@@ -130,12 +200,54 @@ def main(hparams):
 
         # search volume from the dataset's depth bounds around the origin
         half = float(np.max(np.abs(dataset.bounds))) * 0.5
-        print('distilling density proxy ...', flush=True)
-        proxy = distill_proxy(sigma_fn, [-half] * 3, [half] * 3,
-                              jax.random.PRNGKey(7),
-                              steps=hparams.fast_distill_steps,
-                              batch=hparams.fast_distill_batch)
-        aabb = estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3)
+
+        # proxy persistence: distillation costs ~500 Adam steps; amortize it
+        # across eval invocations by caching the proxy pytree + AABB beside
+        # the checkpoint, keyed by the checkpoint's content hash
+        import hashlib
+        proxy_path = hparams.fast_proxy_path
+        if proxy_path is None:
+            proxy_path = hparams.ckpt_path + '.proxy.msgpack'
+        with open(hparams.ckpt_path, 'rb') as f:
+            ckpt_sha = hashlib.sha256(f.read()).digest()
+        proxy = aabb = None
+        if proxy_path != 'none' and os.path.exists(proxy_path):
+            from nerf_siren_tpu.training.checkpoints import load_checkpoint
+            try:
+                blob = load_checkpoint(proxy_path)
+                meta = blob['meta']
+                if (bytes(np.asarray(meta['ckpt_sha'], np.uint8)) == ckpt_sha
+                        and int(meta['distill_steps']) == hparams.fast_distill_steps
+                        and int(meta['distill_batch']) == hparams.fast_distill_batch):
+                    proxy = jax.tree_util.tree_map(jnp.asarray, blob['proxy'])
+                    aabb = (np.asarray(blob['aabb'][0]),
+                            np.asarray(blob['aabb'][1]))
+                    print(f'reusing distilled proxy: {proxy_path}', flush=True)
+                else:
+                    print(f'proxy cache stale (checkpoint or distill config '
+                          f'changed), re-distilling: {proxy_path}', flush=True)
+            except Exception as e:
+                print(f'ignoring unreadable proxy cache {proxy_path}: {e!r}',
+                      flush=True)
+        if proxy is None:
+            print('distilling density proxy ...', flush=True)
+            proxy = distill_proxy(sigma_fn, [-half] * 3, [half] * 3,
+                                  jax.random.PRNGKey(7),
+                                  steps=hparams.fast_distill_steps,
+                                  batch=hparams.fast_distill_batch)
+            aabb = estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3)
+            if proxy_path != 'none':
+                from nerf_siren_tpu.training.checkpoints import save_checkpoint
+                save_checkpoint(proxy_path, {
+                    'proxy': proxy,
+                    'aabb': np.stack([np.asarray(aabb[0], np.float32),
+                                      np.asarray(aabb[1], np.float32)]),
+                    'meta': {
+                        'ckpt_sha': np.frombuffer(ckpt_sha, np.uint8).copy(),
+                        'distill_steps': np.asarray(hparams.fast_distill_steps),
+                        'distill_batch': np.asarray(hparams.fast_distill_batch),
+                    }})
+                print(f'saved distilled proxy: {proxy_path}', flush=True)
         print(f'scene AABB: {np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}',
               flush=True)
         # fused proxy-march kernel: march + pdf selection in VMEM
@@ -252,6 +364,7 @@ def main(hparams):
     os.makedirs(out_dir, exist_ok=True)
 
     imgs, psnrs = [], []
+    cls_accs, mious = [], []
     for i in range(len(dataset)):
         sample = dataset[i]
         out = render(params, jnp.asarray(sample['rays']))
@@ -260,6 +373,27 @@ def main(hparams):
         img = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
         imgs.append(img)
         imageio.imwrite(os.path.join(out_dir, f'{i:03d}.png'), img)
+
+        if hparams.mode == 'd3':
+            from nerf_siren_tpu.training.metrics import miou as miou_fn
+            from nerf_siren_tpu.utils.color import color_cls
+            cls_key = key.replace('rgb', 'cls')
+            raw_cls = np.asarray(out[cls_key], np.float32)
+            cls_pred = np.argmax(raw_cls, axis=-1).reshape(h, w)
+            # reference format: class id x 10 as r_<i>.png (eval.py:168)
+            imageio.imwrite(os.path.join(out_dir, f'r_{i}.png'),
+                            (cls_pred * 10).astype(np.uint8))
+            color_cls(img, cls_pred,
+                      savedir=os.path.join('results', hparams.dataset_name,
+                                           f'{hparams.scene_name}_cls_map'),
+                      prefix=str(i))
+            if 'cls' in sample:
+                gt_cls = np.asarray(sample['cls']).reshape(-1)
+                flat_pred = cls_pred.reshape(-1)
+                cls_accs.append(float((flat_pred == gt_cls).mean()))
+                m, _ = miou_fn(jnp.asarray(flat_pred), jnp.asarray(gt_cls),
+                               hparams.n_classes)
+                mious.append(float(m))
 
         if hparams.save_depth:
             depth = np.asarray(out[key.replace('rgb', 'depth')], np.float32).reshape(h, w)
@@ -278,6 +412,9 @@ def main(hparams):
                     imgs, duration=1000 / 30)
     if psnrs:
         print(f'Mean PSNR: {np.mean(psnrs):.2f}')
+    if cls_accs:
+        print(f'Mean class accuracy: {np.mean(cls_accs):.4f} '
+              f'mIoU: {np.mean(mious):.4f}')
     return np.mean(psnrs) if psnrs else None
 
 

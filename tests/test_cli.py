@@ -443,3 +443,98 @@ def test_example_render_single_image(workdir, scene_root):
     assert "PSNR" in r.stdout and "render time" in r.stdout
     assert os.path.exists(os.path.join(out_dir, "rgb.png"))
     assert os.path.exists(os.path.join(out_dir, "depth.png"))
+
+
+def test_eval_cli_semantic_d3(tmp_path_factory, capfd):
+    """--mode d3 end-to-end: train a semantic checkpoint on the synthetic
+    cls fixture, then evaluate it post-hoc — class-map PNGs (reference
+    r_<i>.png, class id x 10), color_cls overlays, and pixel acc + mIoU
+    (reference eval.py:122-174)."""
+    from tests.datasets_synthetic import make_blender_cls_dataset
+    scene = make_blender_cls_dataset(
+        str(tmp_path_factory.mktemp("scene_cls_eval")), hw=40)
+    wd = tmp_path_factory.mktemp("eval_run_d3")
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from opt import get_opts
+        from train import main
+        main(get_opts([
+            "--root_dir", scene,
+            "--dataset_name", "blender_cls_ib",
+            "--mode", "d3",
+            "--img_wh", "40", "40",
+            "--N_samples", "16", "--N_importance", "0",
+            "--batch_size", "512",
+            "--num_epochs", "1",
+            "--lr", "1e-3",
+            "--decay_step", "100",
+            "--loss_type", "msenll",
+            "--exp_name", "eval_d3",
+        ]))
+        ckpt = sorted(glob.glob(
+            os.path.join(wd, "ckpts", "eval_d3", "*.msgpack")))[-1]
+        from eval import get_opts as eval_opts, main as eval_main
+        eval_main(eval_opts([
+            "--root_dir", scene,
+            "--dataset_name", "blender_cls_ib",
+            "--split", "test",
+            "--img_wh", "40", "40",
+            "--N_samples", "16", "--N_importance", "0",
+            "--ckpt_path", ckpt,
+            "--scene_name", "sem",
+            "--mode", "d3",
+            "--semantic_network", "pointnet",
+            "--point_capacity", "2048",
+            "--compute_dtype", "float32",
+        ]))
+        out = capfd.readouterr().out
+        assert "Mean class accuracy" in out and "mIoU" in out
+        res = os.path.join(wd, "results", "blender_cls_ib")
+        cls_maps = glob.glob(os.path.join(res, "sem", "r_*.png"))
+        assert cls_maps, "reference-format class maps missing"
+        overlays = glob.glob(os.path.join(res, "sem_cls_map", "*"))
+        assert overlays, "color_cls overlays missing"
+    finally:
+        os.chdir(cwd)
+
+
+def test_eval_cli_fast_proxy_cache(workdir, scene_root, capfd):
+    """Second --renderer fast invocation must REUSE the persisted proxy
+    (skip distillation) and invalidate when the distill config changes."""
+    wd, _ = workdir
+    ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "smoke", "*.msgpack")))[-1]
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from eval import get_opts as eval_opts, main as eval_main
+        args = [
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--split", "test",
+            "--img_wh", "40", "40",
+            "--N_samples", "24", "--N_importance", "8",
+            "--ckpt_path", ckpt,
+            "--scene_name", "sphere_proxycache",
+            "--renderer", "fast",
+            "--fast_candidates", "24", "--fast_keep", "8",
+            "--fast_distill_steps", "20", "--fast_distill_batch", "2048",
+            "--compute_dtype", "float32",
+        ]
+        p1 = eval_main(eval_opts(args))
+        assert os.path.exists(ckpt + ".proxy.msgpack")
+        out1 = capfd.readouterr().out
+        assert "saved distilled proxy" in out1
+        p2 = eval_main(eval_opts(args))
+        out2 = capfd.readouterr().out
+        assert "reusing distilled proxy" in out2
+        assert "distilling density proxy" not in out2
+        assert abs(p1 - p2) < 1e-4  # same proxy -> same render
+        # changed distill config invalidates the cache
+        args2 = list(args)
+        args2[args2.index("--fast_distill_steps") + 1] = "21"
+        eval_main(eval_opts(args2))
+        out3 = capfd.readouterr().out
+        assert "re-distilling" in out3
+    finally:
+        os.chdir(cwd)
