@@ -7,23 +7,65 @@ reference's eval.py batched_inference).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 5e6 (the driver target: >=5M rays/s/chip on v5e).
+
+Tunnel-resilience design (round 3): ``python bench.py`` runs a SUPERVISOR
+that executes the measurements in a fresh subprocess per attempt
+(``--worker``), retrying bounded times with backoff — the round-1/round-2
+scoreboard was zeroed twice by a single libtpu tunnel flap at backend
+init.  The worker fail-fast-probes the device first (that is where both
+outages surfaced), then checkpoints every completed metric to a partial
+file, so even a mid-run crash reports the metrics that DID land.  On
+permanent failure the supervisor still emits the one-line JSON with
+``"value": null`` and an ``"error"`` field naming the cause.
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+METRIC = "rays_per_sec_per_chip_lego800_coarse_fine"
+TARGET = 5e6
+PARTIAL_PATH = "/tmp/bench_partial.json"
 
 
-def main():
+def _write_partial(path: str, data: dict) -> None:
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f)
+    os.replace(tmp, path)
+
+
+# --------------------------------------------------------------------------
+# Worker: the actual measurements (fresh process per attempt)
+# --------------------------------------------------------------------------
+
+def worker(partial_path: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # Fail-fast first device contact: both recorded outages (BENCH_r01 retry,
+    # BENCH_r02 rc:1) died HERE, at backend init, within seconds.  Probing
+    # eagerly means a wedged tunnel costs one quick retry, not a full run.
+    dev = jax.devices()
+    probe = jnp.ones((128, 128))
+    assert float(jnp.sum(probe @ probe)) == 128.0 * 128 * 128
+    print(f"# device probe ok: {dev}", file=sys.stderr, flush=True)
+
     from nerf_siren_tpu.config import NeRFConfig, RenderConfig
     from nerf_siren_tpu.models.nerf import init_nerf
     from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
     from nerf_siren_tpu.render.fused import render_rays_fused
     from nerf_siren_tpu.render.rendering import render_rays
+
+    out: dict = {"metric": METRIC, "value": None, "unit": "rays/s/chip",
+                 "vs_baseline": None, "secondary": {}}
+    sec = out["secondary"]
 
     render_cfg = RenderConfig(
         n_samples=64, n_importance=64, perturb=0.0, noise_std=0.0,
@@ -87,17 +129,23 @@ def main():
         return time.perf_counter() - t0
 
     dt = time_frames(render_frame, packed)
-    dt_jnp = time_frames(render_frame_jnp, params)
-
-    rays_per_sec = n_rays_frame * n_iters / dt
     n_chips = max(1, len(jax.devices()))
+    rays_per_sec = n_rays_frame * n_iters / dt
     value = rays_per_sec / n_chips
-    jnp_rays_per_sec = n_rays_frame * n_iters / dt_jnp / n_chips
+    out["value"] = round(value, 1)
+    out["vs_baseline"] = round(value / TARGET, 4)
+    sec["p50_full_frame_latency_s"] = round(dt / n_iters, 4)
+    _write_partial(partial_path, out)
 
-    # secondary: the proxy-culled fast path (render/fast.py) — same scene
-    # shapes, quality validated against the exact renderer in
-    # tests/test_fast_render.py (agreement figures measured there on the
-    # multi-view synthetic scene)
+    dt_jnp = time_frames(render_frame_jnp, params)
+    jnp_rays_per_sec = n_rays_frame * n_iters / dt_jnp / n_chips
+    sec["exact_jnp_rays_per_sec"] = round(jnp_rays_per_sec, 1)
+    _write_partial(partial_path, out)
+
+    # secondary: the proxy-culled fast path (render/fast.py) — throughput
+    # measured HERE on random-init weights; the quoted dB agreement figures
+    # are NOT measured in this bench — they come from the frontier protocol
+    # (tools/fast_frontier.py on a converged scene, docs/fast_frontier.json)
     from nerf_siren_tpu.ops.pallas.proxy_march import pack_proxy_params
     from nerf_siren_tpu.render.fast import init_proxy, render_rays_fast
 
@@ -126,9 +174,25 @@ def main():
         fdt = time.perf_counter() - t0
         return n_rays_frame * n_iters / fdt / n_chips, fdt / n_iters
 
-    fast_hi_q, fast_hi_q_lat = time_fast(32, 16)   # 32.04dB agreement at convergence
-    fast_fast, fast_fast_lat = time_fast(32, 8)    # 29.7dB agreement at convergence
-    fast_cull, fast_cull_lat = time_fast(32, 16, cull=0.65)  # 32.04dB (frontier)
+    fast_hi_q, fast_hi_q_lat = time_fast(32, 16)
+    sec["fast_path_conservative_rays_per_sec"] = round(fast_hi_q, 1)
+    sec["fast_p50_frame_latency_conservative_s"] = round(fast_hi_q_lat, 4)
+    _write_partial(partial_path, out)
+    fast_fast, fast_fast_lat = time_fast(32, 8)
+    sec["fast_path_aggressive_rays_per_sec"] = round(fast_fast, 1)
+    sec["fast_p50_frame_latency_aggressive_s"] = round(fast_fast_lat, 4)
+    fast_cull, fast_cull_lat = time_fast(32, 16, cull=0.65)
+    sec["fast_path_culled_32db_rays_per_sec"] = round(fast_cull, 1)
+    sec["fast_p50_frame_latency_culled_s"] = round(fast_cull_lat, 4)
+    sec["fast_path_note"] = (
+        "proxy-culled renderer (render/fast.py): fused Pallas proxy-march "
+        "kernel + fused Pallas model eval. Throughput measured here on "
+        "random-init weights; quality is measured SEPARATELY by "
+        "tools/fast_frontier.py on converged scenes (docs/fast_frontier.json"
+        " + BASELINE.md): conservative=32cand/keep16 (32.04dB agreement), "
+        "aggressive=32/8 (29.7dB), culled=32/16/cull0.65 (32.04dB, the "
+        ">=5M @ >=32dB operating point)")
+    _write_partial(partial_path, out)
 
     # training-step time at the reference's headline recipe (batch 1024,
     # 64+128 samples; reference README reports 0.12 s/step on a 2080 Ti)
@@ -150,6 +214,10 @@ def main():
         state, m = system.train_step(state, batch, key)
     float(m["train/loss"])
     train_step_s = (time.perf_counter() - t0) / 20
+    sec["train_step_s_batch1024_64c128f"] = round(train_step_s, 4)
+    sec["train_step_note"] = ("reference reports 0.12 s/step for the same "
+                              "recipe on one RTX 2080 Ti (README.md:138-144)")
+    _write_partial(partial_path, out)
 
     # fused Pallas training backend (ops/pallas/fused_mlp_train.py):
     # bf16 field fwd+bwd in VMEM; guarded so a kernel regression degrades
@@ -171,7 +239,11 @@ def main():
         float(m["train/loss"])
         fused_step_s = (time.perf_counter() - t0) / 20
     except Exception as e:  # pragma: no cover - bench resilience
-        print(f"# fused train backend bench skipped: {e!r}", flush=True)
+        print(f"# fused train backend bench skipped: {e!r}",
+              file=sys.stderr, flush=True)
+    sec["train_step_fused_backend_s"] = (round(fused_step_s, 4)
+                                         if fused_step_s else None)
+    _write_partial(partial_path, out)
 
     # ---- BASELINE.md config 3: LLFF fern 504x378, NDC rays ---------------
     n_fern = 504 * 378
@@ -198,8 +270,10 @@ def main():
     float(chk)
     fern_rays_per_sec = fern_tiles.shape[0] * chunk * n_iters / (
         time.perf_counter() - t0) / n_chips
+    sec["cfg3_fern_ndc_rays_per_sec"] = round(fern_rays_per_sec, 1)
+    _write_partial(partial_path, out)
 
-    # ---- BASELINE.md config 4: SIREN field + semantic (pointnet) steps ----
+    # ---- BASELINE.md config 4: SIREN field + semantic steps ---------------
     siren_system = NeRFSystem(
         RenderConfig(n_samples=64, n_importance=128, perturb=1.0,
                      noise_std=1.0, white_back=True),
@@ -213,25 +287,44 @@ def main():
         s_state, m = siren_system.train_step(s_state, batch, key)
     float(m["train/loss"])
     siren_step_s = (time.perf_counter() - t0) / 20
+    sec["cfg4_siren_train_step_s"] = round(siren_step_s, 4)
+    _write_partial(partial_path, out)
 
     from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
-    sem_system = NeRF3DSystem(
-        RenderConfig(n_samples=64, n_importance=0, perturb=1.0, noise_std=1.0),
-        TrainConfig(lr=5e-4, batch_size=4096, decay_step=(2,),
-                    loss_type="msenll"),
-        nerf_cfg, steps_per_epoch=1000,
-        semantic_network="pointnet", n_classes=6, point_capacity=8192)
-    sem_state = sem_system.init_state(jax.random.PRNGKey(6))
     sem_batch = {"rays": rays_np[:4096],
                  "rgbs": rng.uniform(0, 1, (4096, 3)).astype(np.float32),
                  "cls": rng.integers(0, 6, 4096)}
-    sem_state, m = sem_system.train_step(sem_state, sem_batch, key)
-    float(m["train/total_loss"])
-    t0 = time.perf_counter()
-    for _ in range(10):
+
+    def time_semantic(network, n_steps=10):
+        sem_system = NeRF3DSystem(
+            RenderConfig(n_samples=64, n_importance=0, perturb=1.0,
+                         noise_std=1.0),
+            TrainConfig(lr=5e-4, batch_size=4096, decay_step=(2,),
+                        loss_type="msenll"),
+            nerf_cfg, steps_per_epoch=1000,
+            semantic_network=network, n_classes=6, point_capacity=8192)
+        sem_state = sem_system.init_state(jax.random.PRNGKey(6))
         sem_state, m = sem_system.train_step(sem_state, sem_batch, key)
-    float(m["train/total_loss"])
-    sem_step_s = (time.perf_counter() - t0) / 10
+        float(m["train/total_loss"])
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            sem_state, m = sem_system.train_step(sem_state, sem_batch, key)
+        float(m["train/total_loss"])
+        return (time.perf_counter() - t0) / n_steps
+
+    sec["cfg4_semantic_pointnet_step_s_batch4096_cap8192"] = round(
+        time_semantic("pointnet"), 4)
+    _write_partial(partial_path, out)
+    # conv3d (dense voxel-UNet) path — the variant the reference's own
+    # train.sh invokes (models/ConvNetWork.py); guarded like fused-train
+    try:
+        sec["cfg4_semantic_conv3d_step_s_batch4096_cap8192"] = round(
+            time_semantic("conv3d", n_steps=5), 4)
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"# conv3d semantic bench skipped: {e!r}",
+              file=sys.stderr, flush=True)
+        sec["cfg4_semantic_conv3d_step_s_batch4096_cap8192"] = None
+    _write_partial(partial_path, out)
 
     # ---- BASELINE.md config 5: EG3D triplane renderer (reference 256^2) ---
     from nerf_siren_tpu.training.eg3d_system import EG3DSystem
@@ -262,21 +355,25 @@ def main():
         e_state, m = eg3d_system.train_step(e_state, e_batch, key)
     float(m["train/loss"])
     eg3d_step_s = (time.perf_counter() - t0) / 20
+    sec["cfg5_eg3d_train_step_s_batch1024_256sq_planes"] = round(eg3d_step_s, 4)
+    _write_partial(partial_path, out)
 
     # device-resident params: a render loop uploads weights once, not per
     # frame (host-resident params cost ~2 s/frame in H2D over the tunnel)
     eg3d_params = e_state.params
     for _ in range(4):  # warm the render program past runtime re-optimization
-        out = eg3d_system.render(eg3d_params, eg3d_rays)
+        out_r = eg3d_system.render(eg3d_params, eg3d_rays)
     t0 = time.perf_counter()
-    out = eg3d_system.render(eg3d_params, eg3d_rays)
-    float(np.sum(out["rgb_fine"][:8]))
+    out_r = eg3d_system.render(eg3d_params, eg3d_rays)
+    float(np.sum(out_r["rgb_fine"][:8]))
     eg3d_rays_per_sec = 65536 / (time.perf_counter() - t0) / n_chips
+    sec["cfg5_eg3d_render_rays_per_sec"] = round(eg3d_rays_per_sec, 1)
+    _write_partial(partial_path, out)
 
     # EG3D proxy-culled fast renderer (render/triplane_fast.py): K plane
     # samples/ray instead of 64+64. Throughput only — agreement quality is
-    # measured on a TRAINED scene (docs/status.md: 30.0 dB @ K=16 vs the
-    # exact render); this bench scene is 45-step random-ish density.
+    # measured on a TRAINED scene (docs/status.md) by
+    # tools/eg3d_fast_frontier.py; this bench scene is 45-step random-ish.
     from nerf_siren_tpu.render.triplane_fast import make_fast_eg3d_renderer
     eg3d_fast = make_fast_eg3d_renderer(
         eg3d_params["eg3d_renderer"], eg3d_system.cfg,
@@ -284,55 +381,112 @@ def main():
         rng=jax.random.PRNGKey(11))
     eg3d_rays_j = jnp.asarray(eg3d_rays)
     for _ in range(25):  # past the tunneled runtime's re-optimization phase
-        out = eg3d_fast(eg3d_rays_j)
-        float(jnp.sum(out["rgb_fine"][:4]))
+        out_r = eg3d_fast(eg3d_rays_j)
+        float(jnp.sum(out_r["rgb_fine"][:4]))
     t0 = time.perf_counter()
     for _ in range(3):
-        out = eg3d_fast(eg3d_rays_j)
-        float(jnp.sum(out["rgb_fine"][:4]))
+        out_r = eg3d_fast(eg3d_rays_j)
+        float(jnp.sum(out_r["rgb_fine"][:4]))
     eg3d_fast_rays_per_sec = 3 * 65536 / (time.perf_counter() - t0) / n_chips
+    sec["cfg5_eg3d_fast_render_rays_per_sec"] = round(eg3d_fast_rays_per_sec, 1)
+    _write_partial(partial_path, out)
 
-    print(json.dumps({
-        "metric": "rays_per_sec_per_chip_lego800_coarse_fine",
-        "value": round(value, 1),
-        "unit": "rays/s/chip",
-        "vs_baseline": round(value / 5e6, 4),
-        "secondary": {
-            "fast_path_conservative_rays_per_sec": round(fast_hi_q, 1),
-            "fast_path_aggressive_rays_per_sec": round(fast_fast, 1),
-            "fast_path_culled_32db_rays_per_sec": round(fast_cull, 1),
-            "fast_path_note": "proxy-culled renderer (render/fast.py): "
-                              "fused Pallas proxy-march kernel (rotation-"
-                              "recurrence march + pdf select in VMEM, "
-                              "ops/pallas/proxy_march.py) + fused Pallas "
-                              "model eval + phantom-suppressed proxy; "
-                              "conservative=32cand/keep16 (32.04dB "
-                              "agreement with the exact render on a "
-                              "converged scene), aggressive=32/8 "
-                              "(29.7dB), culled=32/16/cull0.65 "
-                              "(32.04dB, the >=5M @ >=32dB operating "
-                              "point: 5.88M measured on the frontier "
-                              "scene) — full curve in BASELINE.md / "
-                              "docs/fast_frontier.json",
-            "exact_jnp_rays_per_sec": round(jnp_rays_per_sec, 1),
-            "p50_full_frame_latency_s": round(dt / n_iters, 4),
-            "fast_p50_frame_latency_conservative_s": round(fast_hi_q_lat, 4),
-            "fast_p50_frame_latency_aggressive_s": round(fast_fast_lat, 4),
-            "fast_p50_frame_latency_culled_s": round(fast_cull_lat, 4),
-            "train_step_s_batch1024_64c128f": round(train_step_s, 4),
-            "train_step_fused_backend_s": (round(fused_step_s, 4)
-                                           if fused_step_s else None),
-            "train_step_note": "reference reports 0.12 s/step for the same "
-                               "recipe on one RTX 2080 Ti (README.md:138-144)",
-            "cfg3_fern_ndc_rays_per_sec": round(fern_rays_per_sec, 1),
-            "cfg4_siren_train_step_s": round(siren_step_s, 4),
-            "cfg4_semantic_pointnet_step_s_batch4096_cap8192": round(sem_step_s, 4),
-            "cfg5_eg3d_train_step_s_batch1024_256sq_planes": round(eg3d_step_s, 4),
-            "cfg5_eg3d_render_rays_per_sec": round(eg3d_rays_per_sec, 1),
-            "cfg5_eg3d_fast_render_rays_per_sec": round(eg3d_fast_rays_per_sec, 1),
-        },
-    }))
+    print(json.dumps(out), flush=True)
+
+
+# --------------------------------------------------------------------------
+# Supervisor: bounded retries, fresh subprocess per attempt
+# --------------------------------------------------------------------------
+
+def _extract_json_line(text: str) -> dict | None:
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith('{"metric"'):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def supervisor() -> int:
+    max_attempts = 3
+    backoff_s = 60
+    attempt_timeout_s = 1800
+    total_budget_s = 4200  # hard wall for the whole bench
+    start = time.monotonic()
+    last_err = "unknown"
+
+    try:
+        os.remove(PARTIAL_PATH)
+    except OSError:
+        pass
+
+    for attempt in range(1, max_attempts + 1):
+        remaining = total_budget_s - (time.monotonic() - start)
+        if remaining < 120:
+            last_err = f"total budget exhausted before attempt {attempt}"
+            break
+        print(f"# bench attempt {attempt}/{max_attempts}",
+              file=sys.stderr, flush=True)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             PARTIAL_PATH],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        try:
+            stdout, stderr = proc.communicate(
+                timeout=min(attempt_timeout_s, remaining))
+        except subprocess.TimeoutExpired:
+            # graceful first — SIGKILL mid-TPU-compile can wedge the tunnel
+            proc.send_signal(2)  # SIGINT
+            try:
+                stdout, stderr = proc.communicate(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                stdout, stderr = proc.communicate()
+            last_err = f"attempt {attempt}: timed out after {attempt_timeout_s}s"
+            print(f"# {last_err}", file=sys.stderr, flush=True)
+            continue
+
+        if stderr:
+            sys.stderr.write(stderr[-4000:])
+            sys.stderr.flush()
+        if proc.returncode == 0:
+            result = _extract_json_line(stdout)
+            if result is not None and result.get("value") is not None:
+                print(json.dumps(result), flush=True)
+                return 0
+            last_err = f"attempt {attempt}: rc 0 but no metric line in output"
+        else:
+            tail = "\n".join(stderr.strip().splitlines()[-3:])
+            last_err = f"attempt {attempt}: rc {proc.returncode}: {tail[-500:]}"
+        print(f"# attempt {attempt} failed", file=sys.stderr, flush=True)
+        if attempt < max_attempts:
+            time.sleep(backoff_s)
+
+    # Permanent failure: report partial metrics if the headline landed,
+    # else the null-value record with the cause — never a silent rc:1.
+    partial = None
+    try:
+        with open(PARTIAL_PATH) as f:
+            partial = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    if partial is not None and partial.get("value") is not None:
+        partial.setdefault("secondary", {})
+        partial["error"] = f"incomplete run (partial metrics only): {last_err}"
+        print(json.dumps(partial), flush=True)
+        return 0
+    print(json.dumps({"metric": METRIC, "value": None, "unit": "rays/s/chip",
+                      "vs_baseline": None, "error": last_err}), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        idx = sys.argv.index("--worker")
+        partial = sys.argv[idx + 1] if len(sys.argv) > idx + 1 else ""
+        worker(partial)
+    else:
+        sys.exit(supervisor())
