@@ -506,46 +506,68 @@ def make_auto_cull_renderer(
     compute_dtype=jnp.bfloat16,
     margin: float = 1.2,
     opacity_eps: float = 0.01,
-    levels: int = 8,
+    levels: int = 16,
+    block: int = 128,
+    prepass_candidates: Optional[int] = None,
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
-    """Frame-global empty-ray culling: returns render(rays) -> dict.
+    """Frame-global empty-ray culling at ray-BLOCK granularity.
 
-    The fixed `cull=` fraction of render_rays_fast has two failure modes
-    (both measured, BASELINE.md): the budget is per-TILE, so a
-    foreground-dense tile silently drops occupied rays even when the
-    frame-wide fraction is safe; and a fraction below the frame's true
-    foreground coverage collapses quality (cull=0.55 on a 60%-foreground
-    frame: 18.5 dB). This driver removes both by sizing the budget per
-    frame on the host:
+    Returns render(rays) -> dict. The fixed `cull=` fraction of
+    render_rays_fast has two failure modes (both measured, BASELINE.md):
+    the budget is per-TILE, so a foreground-dense tile silently drops
+    occupied rays even when the frame-wide fraction is safe; and a
+    fraction below the frame's true foreground coverage collapses quality
+    (cull=0.55 on a 60%-foreground frame: 18.5 dB). This driver removes
+    both by sizing the budget per frame, and works on blocks of `block`
+    consecutive rays rather than single rays:
 
-      1. one proxy_opacity prepass (16 ns/ray) ranks EVERY ray of the
-         frame jointly;
-      2. budget = (#rays with opacity > opacity_eps) * margin, rounded
-         UP to one of `levels` frame-fraction buckets (bounds jit
-         retraces to <= levels; overshoot only costs speed);
-      3. the top-budget rays render through the fused pdf path
-         (render_rays_fast internals), everything else composites to
-         background.
+      1. one proxy_opacity prepass (`prepass_candidates` proxy evals/ray,
+         default n_candidates) scores EVERY ray of the frame;
+      2. a block is FOREGROUND if any of its rays clears `opacity_eps`;
+         budget = foreground blocks * margin, rounded UP to one of
+         `levels` frame-fraction buckets (bounds jit retraces; overshoot
+         only costs speed);
+      3. the top-budget blocks (by max ray opacity) render through the
+         fused pdf path, everything else composites to background.
+
+    Why blocks (round 3, replacing the round-2 per-ray variant): per-ray
+    culling spent more than it saved on data movement — a full-frame
+    argsort of 640K opacities, a (n_act, 8) random-row gather, and a
+    6-operand reassembly sort (the scatter it replaced measured 36 ms per
+    (Rp, 3) array; the sort itself still cost ~ms and the gather worse).
+    At block granularity every one of those becomes cheap: the sort ranks
+    nblocks (=rp/block) keys, and the gather/reassembly move CONTIGUOUS
+    (block*8)-wide rows, which XLA lowers to fast large-row dynamic
+    gathers instead of per-element scatter/gather. Eval frames are
+    scanline-ordered, so foreground is contiguous and the block-level
+    overhead (a block renders if ANY ray is foreground — quality can only
+    improve vs per-ray at equal coverage) stays small: measured active
+    fractions on the frontier scene are within a few percent of the
+    per-ray budget. Block size must keep block*quantum_blocks a multiple
+    of the march kernel's TILE_R.
 
     The budget is a traced-shape decision JAX cannot make inside jit, and
     a mid-frame host sync costs a full dispatch round-trip on tunneled
     runtimes (measured: ~70 ms of a ~115 ms frame). So the driver is
-    TEMPORAL: each frame renders as ONE compiled program (prepass + sort
-    + gather + fused render + scatter) whose budget was sized from the
-    PREVIOUS frame's foreground count (returned by that same program);
-    the first frame renders every ray — safe by construction. The count
-    stays a device array until the NEXT frame starts (int() there is
-    cheap — the producing program has long completed); fetching it at
-    the end of its own frame would cost a second dispatch round-trip
-    per frame on tunneled runtimes (measured: 1.26M → ~4M rays/s). Eval-style
-    pose sequences change foreground coverage smoothly, and `margin`
-    absorbs the frame-to-frame drift; a scene cut is at worst one frame
-    at the stale budget, self-corrected on the next. Eval drives frames
-    through this; the in-jit per-tile `cull=` remains for fully-jitted
-    pipelines whose tile statistics are known."""
+    TEMPORAL: each frame renders as ONE compiled program (prepass + block
+    rank + gather + fused render + block reassembly) whose budget was
+    sized from the PREVIOUS frame's foreground-block count (returned by
+    that same program); the first frame renders every ray — safe by
+    construction. The count stays a device array until the NEXT frame
+    starts (int() there is cheap — the producing program has long
+    completed); fetching it at the end of its own frame would cost a
+    second dispatch round-trip per frame (measured: 1.26M → ~4M rays/s).
+    Eval-style pose sequences change foreground coverage smoothly, and
+    `margin` absorbs the frame-to-frame drift; a scene cut is at worst
+    one frame at the stale budget, self-corrected on the next. Eval
+    drives frames through this; the in-jit per-tile `cull=` remains for
+    fully-jitted pipelines whose tile statistics are known."""
     from nerf_siren_tpu.ops.pallas import proxy_march
 
     tile = proxy_march.TILE_R
+    prepass_c = prepass_candidates or n_candidates
+    assert tile % block == 0, f"block must divide TILE_R={tile}"
+    blocks_per_tile = tile // block
     common = dict(n_candidates=n_candidates, n_keep=n_keep,
                   nerf_cfg=nerf_cfg, white_back=white_back,
                   compute_dtype=compute_dtype, scene_aabb=scene_aabb,
@@ -553,61 +575,72 @@ def make_auto_cull_renderer(
                   packed_proxy=packed_proxy, model=model)
 
     @functools.lru_cache(maxsize=None)
-    def frame_program(n_act: int, chunk_t: int, rp: int, r: int):
+    def frame_program(n_act_b: int, chunk_b: int, rp: int, r: int):
+        nblocks = rp // block
+        bg = 1.0 if white_back else 0.0
+
         @jax.jit
         def run(rays8):
             opac = proxy_march.proxy_opacity(
-                packed_proxy, rays8.T, n_candidates)         # (Rp,)
+                packed_proxy, rays8.T, prepass_c)            # (Rp,)
             opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
-            n_fg = jnp.sum(opac > opacity_eps)               # next budget
-            # argsort, not top_k: bitonic sort is milliseconds at 640K
-            # on TPU, lax.top_k is not (measured round 1)
-            perm = jnp.argsort(-opac)                        # (Rp,)
-            act = rays8[perm[:n_act]]                        # (n_act, 8)
-            tiles = act.reshape(n_act // chunk_t, chunk_t, 8)
+            score = jnp.max(opac.reshape(nblocks, block), axis=1)
+            n_fg_b = jnp.sum(score > opacity_eps)            # next budget
+            order = jnp.argsort(-score)                      # (nblocks,)
+            act = rays8.reshape(nblocks, block * 8)[order[:n_act_b]]
+            act = act.reshape(n_act_b * block, 8)
+            tiles = act.reshape(n_act_b // chunk_b, chunk_b * block, 8)
             out = jax.lax.map(
                 lambda t: render_rays_fast(params, proxy, t, **common),
                 tiles)
-            out = {k: v.reshape(n_act, *v.shape[2:]) for k, v in out.items()}
-            bg = 1.0 if white_back else 0.0
-            rgb_a = out[f"rgb_{model}"]
-            # scatter-free reassembly: one multi-operand stable sort keyed
-            # on the permutation carries every output channel back to ray
-            # order (an .at[idx].set scatter measured 36 ms per (Rp, 3)
-            # array on-chip vs ~4 ms for the whole sort)
-            fill = jnp.full((rp - n_act,), bg, jnp.float32)
-            zfill = jnp.zeros((rp - n_act,), jnp.float32)
-            ops = (perm,
-                   jnp.concatenate([rgb_a[:, 0], fill]),
-                   jnp.concatenate([rgb_a[:, 1], fill]),
-                   jnp.concatenate([rgb_a[:, 2], fill]),
-                   jnp.concatenate([out[f"depth_{model}"], zfill]),
-                   jnp.concatenate([out[f"opacity_{model}"], zfill]))
-            s = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
-            return {f"rgb_{model}": jnp.stack(s[1:4], axis=-1),
-                    f"depth_{model}": s[4],
-                    f"opacity_{model}": s[5]}, n_fg
+            out = {k: v.reshape(n_act_b * block, *v.shape[2:])
+                   for k, v in out.items()}
+            # block reassembly: payload row per rendered block + one
+            # background row; inverse-permutation row gather puts every
+            # block back (rows are 5*block wide — a large-row gather,
+            # not the per-element scatter/sort the per-ray variant paid)
+            rgb_a = out[f"rgb_{model}"].reshape(n_act_b, block, 3)
+            payload = jnp.concatenate(
+                [rgb_a.reshape(n_act_b, block * 3),
+                 out[f"depth_{model}"].reshape(n_act_b, block),
+                 out[f"opacity_{model}"].reshape(n_act_b, block)], axis=1)
+            bg_row = jnp.concatenate(
+                [jnp.full((block * 3,), bg, jnp.float32),
+                 jnp.zeros((2 * block,), jnp.float32)])
+            payload = jnp.concatenate([payload, bg_row[None]], axis=0)
+            inv = jnp.argsort(order)                         # rank of block b
+            take = jnp.where(inv < n_act_b, inv, n_act_b)
+            full = payload[take]                             # (nblocks, 5B)
+            rgb = full[:, :block * 3].reshape(rp, 3)
+            depth = full[:, block * 3: block * 4].reshape(rp)
+            opacity = full[:, block * 4:].reshape(rp)
+            return {f"rgb_{model}": rgb, f"depth_{model}": depth,
+                    f"opacity_{model}": opacity}, n_fg_b
         return run
 
-    budget = {"n_fg": None}     # previous frame's count (device array)
+    budget = {"n_fg_b": None}   # previous frame's block count (device array)
 
     def render(rays: jax.Array) -> Dict[str, jax.Array]:
         r = rays.shape[0]
         pad_r = -r % tile
         rp = r + pad_r
         rays8 = jnp.pad(jnp.asarray(rays, jnp.float32), ((0, pad_r), (0, 0)))
-        quantum = -(-rp // (levels * tile)) * tile
-        if budget["n_fg"] is None:
-            n_act = rp                                       # first frame
+        nblocks = rp // block
+        # budget quantum in blocks; chunk_b*block stays a TILE_R multiple
+        quantum_b = -(-nblocks // (levels * blocks_per_tile)) * blocks_per_tile
+        if budget["n_fg_b"] is None:
+            n_act_b = nblocks                                # first frame
         else:
-            n_fg = int(budget["n_fg"])          # deferred, cheap fetch
-            n_act = max(quantum,
-                        -(-int(n_fg * margin) // quantum) * quantum)
-        if n_act >= rp:
-            n_act, chunk_t = rp, tile                        # plain path
+            n_fg_b = int(budget["n_fg_b"])      # deferred, cheap fetch
+            n_act_b = max(quantum_b,
+                          -(-int(n_fg_b * margin) // quantum_b) * quantum_b)
+        if n_act_b >= nblocks:
+            n_act_b, chunk_b = nblocks, quantum_b            # plain path
+            while nblocks % chunk_b:
+                chunk_b += blocks_per_tile
         else:
-            chunk_t = quantum
-        out, budget["n_fg"] = frame_program(n_act, chunk_t, rp, r)(rays8)
+            chunk_b = quantum_b
+        out, budget["n_fg_b"] = frame_program(n_act_b, chunk_b, rp, r)(rays8)
         return {k: v[:r] for k, v in out.items()}
 
     return render

@@ -77,14 +77,17 @@ def main():
         print("loaded cached checkpoint", flush=True)
     else:
         all_rays = np.asarray(train_ds.all_rays, np.float32)
-        all_rgbs = np.asarray(train_ds.all_rgbs, np.float32)
-        rng = np.random.default_rng(0)
-        key = jax.random.PRNGKey(1)
+        all_rgbs = np.asarray(train_ds.all_rgbs, np.float32)[:, :3]
         t0 = time.perf_counter()
-        for i in range(args.steps):
-            idx = rng.integers(0, all_rays.shape[0], 4096)
-            state, m = system.train_step(
-                state, {"rays": all_rays[idx], "rgbs": all_rgbs[idx, :3]}, key)
+        done, chunk = 0, 100   # scan: one dispatch per chunk, not per step
+        while done < args.steps:
+            nsteps = min(chunk, args.steps - done)
+            state, m = system.train_scan(state, all_rays, all_rgbs,
+                                         jax.random.PRNGKey(done), nsteps)
+            done += nsteps
+            if done % 1000 == 0 or done == args.steps:
+                print(f"  step {done}: train psnr "
+                      f"{float(m['train/psnr']):.2f}", flush=True)
         print(f"trained {args.steps} steps in {time.perf_counter() - t0:.1f}s, "
               f"train psnr {float(m['train/psnr']):.2f}", flush=True)
         params = state.params

@@ -1,0 +1,110 @@
+"""Semantic-path convergence evidence on the synthetic Replica fixture.
+
+Trains the semantic NeRF (--mode d3) with BOTH feature extractors —
+pointnet and the dense voxel-UNet conv3d stand-in (the variant the
+reference's own train.sh invokes, models/ConvNetWork.py:52-262) — through
+the real train.py CLI, then evaluates each checkpoint post-hoc through
+eval.py --mode d3 and records rendered class accuracy + mIoU.
+
+Round-2 verdict gap being closed: the conv3d path had contract tests but
+no on-chip convergence numbers (the pointnet run in docs/status.md was
+ad-hoc). The fixture's class layout is position-separable, so treat the
+numbers as an end-to-end plumbing + optimization check, not a benchmark.
+
+Run (on the TPU chip): python tools/semantic_convergence.py
+Writes docs/semantic_convergence.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run(cmd, cwd):
+    print("+ " + " ".join(cmd), flush=True)
+    t0 = time.time()
+    p = subprocess.run(cmd, cwd=cwd, capture_output=True, text=True)
+    if p.returncode != 0:
+        print(p.stdout[-3000:])
+        print(p.stderr[-3000:])
+        raise RuntimeError(f"{cmd[1]} failed rc={p.returncode}")
+    return p.stdout, time.time() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--hw", type=int, nargs=2, default=(80, 60))
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--networks", type=str, nargs="+",
+                    default=["pointnet", "conv3d"])
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(REPO, "docs/semantic_convergence.json"))
+    args = ap.parse_args()
+
+    from tests.datasets_synthetic import make_replica_dataset
+
+    workdir = tempfile.mkdtemp(prefix="sem_conv_")
+    scene = make_replica_dataset(os.path.join(workdir, "scene"),
+                                 n_frames=args.frames, hw=tuple(args.hw))
+    results = {"fixture": {"frames": args.frames, "hw": list(args.hw)},
+               "epochs": args.epochs, "networks": {}}
+    for net in args.networks:
+        exp = f"semconv_{net}"
+        train_cmd = [
+            sys.executable, os.path.join(REPO, "train.py"),
+            "--root_dir", scene, "--dataset_name", "replica",
+            "--mode", "d3", "--semantic_network", net,
+            "--loss_type", "msenll",
+            "--img_wh", str(args.hw[0]), str(args.hw[1]),
+            "--N_samples", "32", "--N_importance", "0",
+            "--batch_size", "1024", "--num_epochs", str(args.epochs),
+            "--lr", "1e-3", "--decay_step", "100",
+            "--exp_name", exp,
+        ]
+        out, train_s = run(train_cmd, workdir)
+        tail = [ln for ln in out.splitlines() if "val/" in ln or "epoch" in ln]
+        print("\n".join(tail[-4:]), flush=True)
+
+        import glob as globmod
+        ckpts = sorted(globmod.glob(
+            os.path.join(workdir, "ckpts", exp, "*.msgpack")))
+        eval_cmd = [
+            sys.executable, os.path.join(REPO, "eval.py"),
+            "--root_dir", scene, "--dataset_name", "replica",
+            "--split", "test",
+            "--img_wh", str(args.hw[0]), str(args.hw[1]),
+            "--N_samples", "32", "--N_importance", "0",
+            "--ckpt_path", ckpts[-1],
+            "--scene_name", exp, "--mode", "d3",
+            "--semantic_network", net, "--point_capacity", "8192",
+        ]
+        out_e, eval_s = run(eval_cmd, workdir)
+        m = re.search(r"Mean class accuracy: ([\d.]+) mIoU: ([\d.]+)", out_e)
+        p = re.search(r"Mean PSNR: ([\d.]+)", out_e)
+        row = {"train_wall_s": round(train_s, 1),
+               "eval_wall_s": round(eval_s, 1),
+               "rendered_class_acc": float(m.group(1)) if m else None,
+               "miou": float(m.group(2)) if m else None,
+               "psnr": float(p.group(1)) if p else None}
+        results["networks"][net] = row
+        print(f"[{net}] acc={row['rendered_class_acc']} miou={row['miou']} "
+              f"psnr={row['psnr']} (train {train_s:.0f}s)", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
