@@ -186,12 +186,12 @@ def worker(partial_path: str) -> None:
     sec["fast_p50_frame_latency_culled_s"] = round(fast_cull_lat, 4)
     sec["fast_path_note"] = (
         "proxy-culled renderer (render/fast.py): fused Pallas proxy-march "
-        "kernel + fused Pallas model eval. Throughput measured here on "
-        "random-init weights; quality is measured SEPARATELY by "
-        "tools/fast_frontier.py on converged scenes (docs/fast_frontier.json"
-        " + BASELINE.md): conservative=32cand/keep16 (32.04dB agreement), "
-        "aggressive=32/8 (29.7dB), culled=32/16/cull0.65 (32.04dB, the "
-        ">=5M @ >=32dB operating point)")
+        "kernel + fused Pallas model eval. This bench measures THROUGHPUT "
+        "ONLY (random-init weights, undistilled proxy): conservative=C32/"
+        "K16, aggressive=C32/K8, culled=C32/K16/cull0.65. No quality is "
+        "measured here; per-config agreement-vs-exact numbers live in "
+        "docs/fast_frontier.json (+ BASELINE.md tables), produced by "
+        "tools/fast_frontier.py on converged scenes over 8 held-out poses")
     _write_partial(partial_path, out)
 
     # training-step time at the reference's headline recipe (batch 1024,
