@@ -169,8 +169,8 @@ def _opacity_kernel(C, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
     out_ref[...] = jnp.where(row == 0, opac, 0.0)
 
 
-def _march_kernel(C, K, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
-                  z_ref, xyz_ref, dir_ref):
+def _march_kernel(C, K, midpoint, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1,
+                  w2, b2, z_ref, xyz_ref, dir_ref):
     x = x_ref[...]                                    # (8, T) f32
     tile = x.shape[1]
     o = x[0:3]
@@ -194,7 +194,13 @@ def _march_kernel(C, K, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
     # bins b_i = near + (i+0.5)*spacing for i in [0, C-2]; cdf entry c_0 = 0
     z_rows, xyz_blocks = [], []
     for k in range(K):
-        u = k / (K - 1) if K > 1 else 0.0
+        # midpoint: strata-centered quantiles u=(k+.5)/K — no sample burnt
+        # at CDF 0/1 (better quadrature at small K); edges: reference
+        # sample_pdf det semantics u=k/(K-1) (models/rendering.py:43-48)
+        if midpoint:
+            u = (k + 0.5) / K
+        else:
+            u = k / (K - 1) if K > 1 else 0.0
         mask = cdf <= u
         cnt = 1.0 + jnp.sum(mask.astype(jnp.float32), axis=0)  # incl. c_0
         below = cnt - 1.0                                      # in [0, C-2]
@@ -247,12 +253,14 @@ def proxy_opacity(
     return out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("n_candidates", "n_keep"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_candidates", "n_keep", "midpoint"))
 def proxy_march_select(
     packed_proxy: Dict[str, jnp.ndarray],
     raysT: jnp.ndarray,
     n_candidates: int,
     n_keep: int,
+    midpoint: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """March C uniform candidates per ray, select K depths by proxy-guided
     deterministic inverse-CDF, and return the survivors transposed.
@@ -271,7 +279,7 @@ def proxy_march_select(
     r = raysT.shape[1]
     assert r % TILE_R == 0, f"pad rays to a multiple of {TILE_R} (got {r})"
     grid = (r // TILE_R,)
-    kernel = functools.partial(_march_kernel, C, K)
+    kernel = functools.partial(_march_kernel, C, K, midpoint)
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _WEIGHT_NAMES]
     z_sel, xyzT, dirT = pl.pallas_call(
         kernel,

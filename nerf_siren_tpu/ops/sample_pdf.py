@@ -32,6 +32,7 @@ def sample_pdf(
     rng: Optional[jax.Array] = None,
     det: bool = False,
     eps: float = 1e-5,
+    midpoint: bool = False,
 ) -> jax.Array:
     """Draw `n_importance` samples per row from the piecewise-constant pdf.
 
@@ -60,7 +61,14 @@ def sample_pdf(
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], -1)  # (R, W+1)
 
     if det:
-        u = jnp.linspace(0.0, 1.0, n_importance, dtype=cdf.dtype)
+        if midpoint:
+            # strata-centered quantiles u=(i+.5)/N: better quadrature at
+            # small N (no sample burnt at CDF 0/1). NOT the reference's
+            # det placement — used only by the proxy fast path.
+            u = (jnp.arange(n_importance, dtype=cdf.dtype) + 0.5) / n_importance
+        else:
+            # reference det semantics (models/rendering.py:43-48)
+            u = jnp.linspace(0.0, 1.0, n_importance, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, (n_rays, n_importance))
     else:
         if rng is None:

@@ -177,6 +177,7 @@ def render_rays_fast(
     packed_proxy: Optional[Dict[str, Any]] = None,
     adaptive: Optional[Tuple[float, int]] = None,
     cull: Optional[float] = None,
+    placement: str = "edges",
 ) -> Dict[str, jax.Array]:
     """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity.
 
@@ -311,7 +312,8 @@ def render_rays_fast(
             ambiguity ranking."""
             rp = raysT.shape[1]
             zs, xyzT, dirT = proxy_march.proxy_march_select(
-                packed_proxy, raysT, n_candidates, k)
+                packed_proxy, raysT, n_candidates, k,
+                midpoint=placement == "mid")
             out8 = fused_full_t(packed_params[model], xyzT, dirT,
                                 depth=nerf_cfg.depth, skips=nerf_cfg.skips)
             # kernel point order: ray-tile major, then candidate, then ray
@@ -393,7 +395,8 @@ def render_rays_fast(
 
         w_hat = proxy_weights(z, spacing)
         z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
-        z_sel = sample_pdf(z_mid, w_hat[:, 1:-1], n_keep, rng=None, det=True)
+        z_sel = sample_pdf(z_mid, w_hat[:, 1:-1], n_keep, rng=None, det=True,
+                           midpoint=placement == "mid")
         z_sel = jnp.sort(z_sel, axis=-1)
     elif refine_mult > 1:
         # hierarchical refinement: split each survivor interval into
@@ -509,6 +512,7 @@ def make_auto_cull_renderer(
     levels: int = 16,
     block: int = 128,
     prepass_candidates: Optional[int] = None,
+    placement: str = "edges",
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Frame-global empty-ray culling at ray-BLOCK granularity.
 
@@ -569,7 +573,7 @@ def make_auto_cull_renderer(
     assert tile % block == 0, f"block must divide TILE_R={tile}"
     blocks_per_tile = tile // block
     common = dict(n_candidates=n_candidates, n_keep=n_keep,
-                  nerf_cfg=nerf_cfg, white_back=white_back,
+                  nerf_cfg=nerf_cfg, white_back=white_back, placement=placement,
                   compute_dtype=compute_dtype, scene_aabb=scene_aabb,
                   select="pdf", packed_params=packed_params,
                   packed_proxy=packed_proxy, model=model)
@@ -641,6 +645,8 @@ def make_auto_cull_renderer(
         else:
             chunk_b = quantum_b
         out, budget["n_fg_b"] = frame_program(n_act_b, chunk_b, rp, r)(rays8)
+        render.last_active_frac = n_act_b / nblocks   # diagnostics
         return {k: v[:r] for k, v in out.items()}
 
+    render.last_active_frac = None
     return render

@@ -34,7 +34,7 @@ def _rays(n, seed=0):
     return jnp.asarray(np.concatenate([o, d, near, far], -1))
 
 
-def _reference_z_sel(proxy, rays):
+def _reference_z_sel(proxy, rays, midpoint=False):
     """The jnp pdf-selection pipeline exactly as render_rays_fast builds it."""
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
@@ -50,7 +50,8 @@ def _reference_z_sel(proxy, rays):
     tr = jnp.concatenate([jnp.ones_like(tr[:, :1]), tr[:, :-1]], axis=-1)
     w_hat = a_hat * tr
     z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
-    return sample_pdf(z_mid, w_hat[:, 1:-1], K, rng=None, det=True)
+    return sample_pdf(z_mid, w_hat[:, 1:-1], K, rng=None, det=True,
+                      midpoint=midpoint)
 
 
 @pytest.fixture(scope="module")
@@ -58,11 +59,13 @@ def proxy():
     return init_proxy(jax.random.PRNGKey(3), hidden=96)
 
 
-def test_selected_depths_match_jnp_pdf_path(proxy):
+@pytest.mark.parametrize("midpoint", [False, True])
+def test_selected_depths_match_jnp_pdf_path(proxy, midpoint):
     rays = _rays(TILE_R)
-    z_ref = np.asarray(_reference_z_sel(proxy, rays))
+    z_ref = np.asarray(_reference_z_sel(proxy, rays, midpoint=midpoint))
     packed = pack_proxy_params(proxy)
-    z_sel, xyzT, dirT = proxy_march_select(packed, rays.T, C, K)
+    z_sel, xyzT, dirT = proxy_march_select(packed, rays.T, C, K,
+                                           midpoint=midpoint)
     z_kernel = np.asarray(z_sel).T                        # (R, K)
     span = 4.0  # far - near
     # bf16 matmul-order deltas shift the CDF slightly; the inverse-CDF interp

@@ -365,36 +365,42 @@ def main():
     from nerf_siren_tpu.ops.pallas.proxy_march import pack_proxy_params
     packed_proxy = pack_proxy_params(proxy)
     fused_sweep = [
-        # (C, K, adaptive, cull)
-        (32, 8, None, None), (32, 16, None, None),
-        (32, 8, (0.0625, 32), None),   # avg 10
-        (32, 8, (0.125, 32), None),    # avg 12
-        (32, 8, (0.125, 48), None),    # avg 14
-        (32, 8, (0.25, 32), None),     # avg 16
-        (32, 8, (0.25, 48), None),     # avg 20
-        (32, 16, (0.125, 48), None),   # avg 22
-        (32, 16, (0.25, 64), None),    # avg 32
+        # (C, K, adaptive, cull, placement)
+        (32, 8, None, None, "edges"), (32, 16, None, None, "edges"),
+        (32, 8, (0.0625, 32), None, "edges"),   # avg 10
+        (32, 8, (0.125, 32), None, "edges"),    # avg 12
+        (32, 8, (0.125, 48), None, "edges"),    # avg 14
+        (32, 8, (0.25, 32), None, "edges"),     # avg 16
+        (32, 8, (0.25, 48), None, "edges"),     # avg 20
+        (32, 16, (0.125, 48), None, "edges"),   # avg 22
+        (32, 16, (0.25, 64), None, "edges"),    # avg 32
         # empty-ray culling: K only on the `cull` most proxy-opaque rays
-        (32, 16, None, 0.35),          # avg 5.6
-        (32, 16, None, 0.45),          # avg 7.2
-        (32, 16, None, 0.55),          # avg 8.8
-        (32, 16, None, 0.65),          # avg 10.4
-        (32, 24, None, 0.45),          # avg 10.8
-        (32, 32, None, 0.45),          # avg 14.4
+        (32, 16, None, 0.35, "edges"),          # avg 5.6
+        (32, 16, None, 0.45, "edges"),          # avg 7.2
+        (32, 16, None, 0.55, "edges"),          # avg 8.8
+        (32, 16, None, 0.65, "edges"),          # avg 10.4
+        (32, 24, None, 0.45, "edges"),          # avg 10.8
+        (32, 32, None, 0.45, "edges"),          # avg 14.4
+        # strata-centered quantiles: same cost, better small-K quadrature
+        (32, 8, None, None, "mid"),
+        (32, 16, None, None, "mid"),
+        (32, 24, None, None, "mid"),
+        (32, 32, None, None, "mid"),
     ]
     if args.auto_only:
         fused_sweep = []
     results["fused_adaptive_configs"] = []
-    for c, k, adapt, cull in fused_sweep:
+    for c, k, adapt, cull, placement in fused_sweep:
         @jax.jit
-        def fused_frame(tiles, c=c, k=k, adapt=adapt, cull=cull):
+        def fused_frame(tiles, c=c, k=k, adapt=adapt, cull=cull,
+                        placement=placement):
             def f(t):
                 return render_rays_fast(
                     params, proxy, t, n_candidates=c, n_keep=k,
                     nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
                     select="pdf", packed_params=packed,
                     packed_proxy=packed_proxy, adaptive=adapt,
-                    cull=cull)["rgb_fine"]
+                    cull=cull, placement=placement)["rgb_fine"]
             rgb = jax.lax.map(f, tiles)
             return rgb, jnp.sum(rgb)
 
@@ -406,7 +412,7 @@ def main():
             avg_k = cull * k
         row = {"select": "pdf+fused-march", "n_candidates": c, "n_keep": k,
                "adaptive": list(adapt) if adapt else None,
-               "cull": cull, "avg_k": avg_k,
+               "cull": cull, "avg_k": avg_k, "placement": placement,
                "rays_per_sec": rate,
                "agreement_db_vs_exact": float(np.mean(agree)),
                "agreement_min_db": float(np.min(agree)),
@@ -415,7 +421,8 @@ def main():
                "psnr_vs_gt_per_pose": vs_gt}
         results["fused_adaptive_configs"].append(row)
         ad = (f"+{adapt[0]:.3f}x{adapt[1]}" if adapt
-              else f" cull={cull}" if cull is not None else "")
+              else f" cull={cull}" if cull is not None
+              else " mid" if placement == "mid" else "")
         print(f"fused C={c:3d} K={k:3d}{ad:12s} (avg {avg_k:5.1f}): "
               f"{rate/1e6:6.2f} M rays/s  "
               f"agree mean {row['agreement_db_vs_exact']:6.2f} / "
@@ -427,11 +434,26 @@ def main():
     from nerf_siren_tpu.render.fast import make_auto_cull_renderer
     results["auto_cull_configs"] = []
     pose_rays_dev = [jnp.asarray(p["rays"]) for p in poses]
-    for k, margin in ((16, 1.1), (16, 1.3), (8, 1.3)):
+    # Measured r3: opacity_eps=0.01 counts ~every ray as foreground on the
+    # overpredicting (16x) proxy, so the budget stays ~full and auto-cull
+    # pays prepass+sort for nothing (3.76M vs plain 4.71M at K=16). The eps
+    # sweep below calibrates: proxy opacity eps corresponds to a much
+    # smaller TRUE opacity. prepass_c=16 halves the prepass; placement=mid
+    # is the strata-centered quantile (better small-K quadrature).
+    for k, margin, prepass_c, placement, eps in (
+            (16, 1.1, None, "edges", 0.01),     # round-2 continuity row
+            (8, 1.3, None, "edges", 0.01),
+            (16, 1.2, 16, "mid", 0.05),
+            (16, 1.2, 16, "mid", 0.15),
+            (16, 1.2, 16, "mid", 0.30),
+            (24, 1.2, 16, "mid", 0.15),
+            (32, 1.2, 16, "mid", 0.15)):
         auto_render = make_auto_cull_renderer(
             params, proxy, n_candidates=32, n_keep=k, nerf_cfg=nerf_cfg,
             white_back=True, scene_aabb=aabb, packed_params=packed,
-            packed_proxy=packed_proxy, margin=margin)
+            packed_proxy=packed_proxy, margin=margin,
+            prepass_candidates=prepass_c, placement=placement,
+            opacity_eps=eps)
 
         def auto_frame(rays_dev):
             out = auto_render(rays_dev)["rgb_fine"]
@@ -446,20 +468,26 @@ def main():
             float(auto_frame(rd)[1])
         rgb, t = time_frames(auto_frame, pose_rays_dev[0])
         rate = H * W / t
-        agree, vs_gt = [], []
+        agree, vs_gt, act = [], [], []
         for p, rd in enumerate(pose_rays_dev):
             r_p = np.asarray(auto_frame(rd)[0]).reshape(-1, 3)
+            act.append(auto_render.last_active_frac)
             agree.append(psnr(r_p, exact_rgbs[p]))
             vs_gt.append(psnr(r_p, poses[p]["gt"]))
         row = {"select": "pdf+fused-march+auto-cull", "n_candidates": 32,
-               "n_keep": k, "margin": margin, "rays_per_sec": rate,
+               "n_keep": k, "margin": margin, "prepass_candidates": prepass_c,
+               "placement": placement, "opacity_eps": eps,
+               "active_frac_per_pose": act,
+               "rays_per_sec": rate,
                "agreement_db_vs_exact": float(np.mean(agree)),
                "agreement_min_db": float(np.min(agree)),
                "agreement_per_pose": agree,
                "psnr_vs_gt": vs_gt[0],
                "psnr_vs_gt_per_pose": vs_gt}
         results["auto_cull_configs"].append(row)
-        print(f"auto  C= 32 K={k:3d} margin={margin:.2f}: "
+        print(f"auto  C= 32 K={k:3d} margin={margin:.2f} "
+              f"pp={prepass_c or 32:2d} {placement[:4]} eps={eps:.2f} "
+              f"act={np.mean(act):.2f}: "
               f"{rate/1e6:6.2f} M rays/s  "
               f"agree mean {row['agreement_db_vs_exact']:6.2f} / "
               f"min {row['agreement_min_db']:6.2f} dB  "
