@@ -79,6 +79,9 @@ def make_fast_eg3d_renderer(
     cull_margin: float = 1.2,
     opacity_eps: float = 0.01,
     levels: int = 8,
+    block: int = 128,
+    prepass_candidates: Optional[int] = None,
+    placement: str = "edges",
     proxy: Optional[Dict[str, Any]] = None,
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Build a proxy-culled renderer for ONE synthesized scene.
@@ -91,13 +94,19 @@ def make_fast_eg3d_renderer(
     [ray_start, ray_end], so the candidate budget is spent inside the
     volume.
 
-    cull="auto" enables frame-global empty-ray culling: each frame runs as
-    one compiled program (proxy-opacity prepass + argsort + render of the
-    top-budget rays + multi-operand-sort reassembly) whose ray budget is
-    sized from the PREVIOUS frame's foreground count — the same temporal
-    scheme, rationale, and measured trade-offs as
-    render/fast.py::make_auto_cull_renderer (first frame renders all rays;
-    `cull_margin` absorbs pose-to-pose drift).
+    cull="auto" enables frame-global empty-ray culling at ray-BLOCK
+    granularity: each frame runs as one compiled program (proxy-opacity
+    prepass + block-score argsort + contiguous block gather + render +
+    block-row reassembly) whose budget is sized from the PREVIOUS frame's
+    foreground-block count — the same temporal scheme, block rationale
+    (per-ray sort/gather/reassembly overhead made culling net-negative on
+    dense frames), and knobs (prepass_candidates, opacity_eps — note the
+    16x-overpredicting proxy makes tiny eps count near-empty rays as
+    foreground) as render/fast.py::make_auto_cull_renderer. First frame
+    renders all rays; `cull_margin` absorbs pose-to-pose drift.
+
+    placement="mid" selects strata-centered quantiles u=(k+.5)/K instead
+    of endpoint linspace (see proxy_march_select).
     """
     p = params["eg3d_renderer"] if "eg3d_renderer" in params else params
     opts = cfg.rendering
@@ -158,7 +167,8 @@ def make_fast_eg3d_renderer(
         n = rays8.shape[0]
         nt = n // tile
         z_sel, xyzT, _ = proxy_march.proxy_march_select(
-            packed_proxy, rays8.T, C, K)                          # (K, N)
+            packed_proxy, rays8.T, C, K,
+            midpoint=placement == "mid")                          # (K, N)
 
         # survivor point order is tile-major: (nt, K, tile)
         coords = xyzT[:3].T                                       # (K*N, 3)
@@ -199,52 +209,66 @@ def make_fast_eg3d_renderer(
         return render_plain
 
     assert cull == "auto", f"cull must be None or 'auto' (got {cull!r})"
+    prepass_c = prepass_candidates or C
+    assert tile % block == 0, f"block must divide TILE_R={tile}"
+    blocks_per_tile = tile // block
 
     @functools.lru_cache(maxsize=None)
-    def frame_program(n_act: int, rp: int, r: int):
+    def frame_program(n_act_b: int, rp: int, r: int):
+        nblocks = rp // block
+
         @jax.jit
         def run(rays):
             rays8 = prep_rays8(rays, rp)
-            opac = proxy_march.proxy_opacity(packed_proxy, rays8.T, C)
+            opac = proxy_march.proxy_opacity(packed_proxy, rays8.T, prepass_c)
             opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
-            n_fg = jnp.sum(opac > opacity_eps)               # next budget
-            # argsort, not top_k: bitonic sort is milliseconds at this
-            # size on TPU, lax.top_k is not (measured round 1)
-            perm = jnp.argsort(-opac)                        # (Rp,)
-            act = rays8[perm[:n_act]]                        # (n_act, 8)
-            rgb_a, depth_a, opac_a = render_core(act)
-            # scatter-free reassembly: one multi-operand stable sort keyed
-            # on the permutation carries every output channel back to ray
-            # order (an .at[idx].set scatter is ~9x slower, measured)
-            fill = jnp.full((rp - n_act,), bg, jnp.float32)
-            zfill = jnp.zeros((rp - n_act,), jnp.float32)
-            ops = (perm,
-                   jnp.concatenate([rgb_a[:, 0], fill]),
-                   jnp.concatenate([rgb_a[:, 1], fill]),
-                   jnp.concatenate([rgb_a[:, 2], fill]),
-                   jnp.concatenate([depth_a, zfill]),
-                   jnp.concatenate([opac_a, zfill]))
-            s = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
-            return {"rgb_fine": jnp.stack(s[1:4], axis=-1),
-                    "depth_fine": s[4], "opacity_fine": s[5]}, n_fg
+            score = jnp.max(opac.reshape(nblocks, block), axis=1)
+            n_fg_b = jnp.sum(score > opacity_eps)            # next budget
+            order = jnp.argsort(-score)                      # (nblocks,)
+            act = rays8.reshape(nblocks, block * 8)[order[:n_act_b]]
+            rgb_a, depth_a, opac_a = render_core(
+                act.reshape(n_act_b * block, 8))
+            # block reassembly: payload row per rendered block + one
+            # background row; inverse-permutation row gather puts every
+            # block back (rows are 5*block wide — a large-row gather, not
+            # the per-element scatter/sort the per-ray variant paid)
+            payload = jnp.concatenate(
+                [rgb_a.reshape(n_act_b, block * 3),
+                 depth_a.reshape(n_act_b, block),
+                 opac_a.reshape(n_act_b, block)], axis=1)
+            bg_row = jnp.concatenate(
+                [jnp.full((block * 3,), bg, jnp.float32),
+                 jnp.zeros((2 * block,), jnp.float32)])
+            payload = jnp.concatenate([payload, bg_row[None]], axis=0)
+            inv = jnp.argsort(order)                         # rank of block b
+            take = jnp.where(inv < n_act_b, inv, n_act_b)
+            full = payload[take]                             # (nblocks, 5B)
+            return {"rgb_fine": full[:, :block * 3].reshape(rp, 3),
+                    "depth_fine": full[:, block * 3:block * 4].reshape(rp),
+                    "opacity_fine": full[:, block * 4:].reshape(rp)}, n_fg_b
         return run
 
-    budget = {"n_fg": None}     # previous frame's count (device array)
+    budget = {"n_fg_b": None}   # previous frame's block count (device array)
 
     def render_culled(rays: jax.Array) -> Dict[str, jax.Array]:
         r = rays.shape[0]
         rp = r + (-r % tile)
-        quantum = -(-rp // (levels * tile)) * tile
-        if budget["n_fg"] is None:
-            n_act = rp                                       # first frame
+        nblocks = rp // block
+        # budget quantum in blocks; n_act_b*block stays a TILE_R multiple
+        quantum_b = -(-nblocks // (levels * blocks_per_tile)) * blocks_per_tile
+        if budget["n_fg_b"] is None:
+            n_act_b = nblocks                                # first frame
         else:
-            n_fg = int(budget["n_fg"])          # deferred, cheap fetch
-            n_act = max(quantum,
-                        -(-int(n_fg * cull_margin) // quantum) * quantum)
-        n_act = min(n_act, rp)
-        out, budget["n_fg"] = frame_program(n_act, rp, r)(
+            n_fg_b = int(budget["n_fg_b"])      # deferred, cheap fetch
+            n_act_b = max(quantum_b,
+                          -(-int(n_fg_b * cull_margin) // quantum_b)
+                          * quantum_b)
+        n_act_b = min(n_act_b, nblocks)
+        out, budget["n_fg_b"] = frame_program(n_act_b, rp, r)(
             jnp.asarray(rays, jnp.float32))
+        render_culled.last_active_frac = n_act_b / nblocks
         return {k: v[:r] for k, v in out.items()}
 
     render_culled.proxy = proxy
+    render_culled.last_active_frac = None
     return render_culled

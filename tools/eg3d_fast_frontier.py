@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--ckpt", type=str, default=None,
                     help="cache trained params here (reuse across runs)")
     ap.add_argument("--configs", type=str,
-                    default="32x8,32x12,32x16,48x16,32x24",
+                    default="32x8,32x12,32x16,48x16,32x24,32x8m,32x16m,32x24m",
                     help="comma-separated CxK operating points")
     ap.add_argument("--out", type=str, default="docs/eg3d_fast_frontier.json")
     args = ap.parse_args()
@@ -124,19 +124,47 @@ def main():
     proxy = None
     rays_j = jnp.asarray(rays)
     for spec in args.configs.split(","):
-        C, K = (int(v) for v in spec.strip().split("x"))
+        spec = spec.strip()
+        placement = "mid" if spec.endswith("m") else "edges"
+        C, K = (int(v) for v in spec.rstrip("m").split("x"))
         fast = make_fast_eg3d_renderer(
             params["eg3d_renderer"], cfg, n_candidates=C, n_keep=K,
             distill_steps=args.distill_steps, rng=jax.random.PRNGKey(7),
-            proxy=proxy)
+            placement=placement, proxy=proxy)
         proxy = fast.proxy
         fo, fast_s = time_render(lambda: fast(rays_j))
         frgb = np.asarray(fo["rgb_fine"], np.float32)
-        rows.append({"config": f"C={C} K={K}", "rays_per_sec": n / fast_s,
+        rows.append({"config": f"C={C} K={K}"
+                               + (" mid" if placement == "mid" else ""),
+                     "rays_per_sec": n / fast_s,
                      "agreement_db": psnr_vs(frgb, exact_rgb),
                      "psnr_vs_gt": psnr_vs(frgb, gt)})
         r = rows[-1]
         print(f"{r['config']}: {r['rays_per_sec'] / 1e3:.1f}K rays/s, "
+              f"agreement {r['agreement_db']:.2f} dB, "
+              f"vs GT {r['psnr_vs_gt']:.2f} dB", flush=True)
+
+    # block-granularity frame-global auto-cull (r3): the per-ray variant
+    # was net-negative on this 65K-ray frame (docs/status.md r2); blocks
+    # cut the sort/gather overhead, and eps must account for the
+    # 16x-overpredicting proxy (see tools/fast_frontier.py)
+    for k, eps, placement in ((16, 0.01, "mid"), (16, 0.15, "mid"),
+                              (8, 0.15, "mid")):
+        fast = make_fast_eg3d_renderer(
+            params["eg3d_renderer"], cfg, n_candidates=32, n_keep=k,
+            distill_steps=args.distill_steps, rng=jax.random.PRNGKey(7),
+            cull="auto", cull_margin=1.2, opacity_eps=eps,
+            prepass_candidates=16, placement=placement, proxy=proxy)
+        fo, fast_s = time_render(lambda: fast(rays_j))
+        frgb = np.asarray(fo["rgb_fine"], np.float32)
+        rows.append({"config": f"C=32 K={k} auto eps={eps} {placement}",
+                     "active_frac": fast.last_active_frac,
+                     "rays_per_sec": n / fast_s,
+                     "agreement_db": psnr_vs(frgb, exact_rgb),
+                     "psnr_vs_gt": psnr_vs(frgb, gt)})
+        r = rows[-1]
+        print(f"{r['config']} act={fast.last_active_frac:.2f}: "
+              f"{r['rays_per_sec'] / 1e3:.1f}K rays/s, "
               f"agreement {r['agreement_db']:.2f} dB, "
               f"vs GT {r['psnr_vs_gt']:.2f} dB", flush=True)
 
