@@ -77,6 +77,22 @@ def get_opts(args=None):
     parser.add_argument('--fast_cull_margin', type=float, default=1.2,
                         help="auto-cull budget headroom over the measured "
                              "foreground ray count")
+    parser.add_argument('--fast_placement', type=str, default='edges',
+                        choices=['edges', 'mid'],
+                        help="pdf sample placement: 'edges' = reference "
+                             "sample_pdf det semantics u=k/(K-1); 'mid' = "
+                             "strata-centered u=(k+.5)/K (better quadrature "
+                             "at small K, measured on the frontier scene)")
+    parser.add_argument('--fast_opacity_eps', type=float, default=0.15,
+                        help="auto-cull foreground threshold on PROXY "
+                             "opacity. The proxy overpredicts density "
+                             "(phantom suppression), so this is much larger "
+                             "than the true-opacity error it admits; 0.01 "
+                             "marks ~every ray foreground (no culling)")
+    parser.add_argument('--fast_prepass', type=int, default=16,
+                        help="proxy candidates per ray in the auto-cull "
+                             "opacity prepass (fewer than fast_candidates: "
+                             "ranking needs less resolution than selection)")
     parser.add_argument('--fast_proxy_path', type=str, default=None,
                         help="where to persist the distilled density proxy "
                              "(default: <ckpt_path>.proxy.msgpack). Reused "
@@ -281,7 +297,10 @@ def main(hparams):
                 model=model_key, white_back=dataset.white_back,
                 compute_dtype=compute_dtype, scene_aabb=aabb,
                 packed_params=fast_packed, packed_proxy=fast_packed_proxy,
-                margin=hparams.fast_cull_margin)
+                margin=hparams.fast_cull_margin,
+                opacity_eps=hparams.fast_opacity_eps,
+                prepass_candidates=hparams.fast_prepass,
+                placement=hparams.fast_placement)
 
             def render(params, rays):
                 return auto_render(rays)
@@ -302,7 +321,7 @@ def main(hparams):
                         compute_dtype=compute_dtype, scene_aabb=aabb,
                         select=hparams.fast_select, packed_params=fast_packed,
                         packed_proxy=fast_packed_proxy, adaptive=fast_adaptive,
-                        cull=fast_cull),
+                        cull=fast_cull, placement=hparams.fast_placement),
                     tiles)
                 return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
                         for k, v in out.items()}
