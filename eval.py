@@ -83,11 +83,13 @@ def get_opts(args=None):
                              "sample_pdf det semantics u=k/(K-1); 'mid' = "
                              "strata-centered u=(k+.5)/K (better quadrature "
                              "at small K, measured on the frontier scene)")
-    parser.add_argument('--fast_opacity_eps', type=float, default=0.15,
+    parser.add_argument('--fast_opacity_eps', type=str, default='auto',
                         help="auto-cull foreground threshold on PROXY "
-                             "opacity. The proxy overpredicts density "
-                             "(phantom suppression), so this is much larger "
-                             "than the true-opacity error it admits; 0.01 "
+                             "opacity: a float, or 'auto' (default) to "
+                             "self-calibrate per frame from the rendered "
+                             "rays that came out empty. The proxy "
+                             "overpredicts density (phantom suppression), "
+                             "so a fixed value is scene-dependent; 0.01 "
                              "marks ~every ray foreground (no culling)")
     parser.add_argument('--fast_prepass', type=int, default=16,
                         help="proxy candidates per ray in the auto-cull "
@@ -298,7 +300,9 @@ def main(hparams):
                 compute_dtype=compute_dtype, scene_aabb=aabb,
                 packed_params=fast_packed, packed_proxy=fast_packed_proxy,
                 margin=hparams.fast_cull_margin,
-                opacity_eps=hparams.fast_opacity_eps,
+                opacity_eps=(hparams.fast_opacity_eps
+                             if hparams.fast_opacity_eps == 'auto'
+                             else float(hparams.fast_opacity_eps)),
                 prepass_candidates=hparams.fast_prepass,
                 placement=hparams.fast_placement)
 

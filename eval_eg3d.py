@@ -56,9 +56,11 @@ def get_opts(args=None):
     parser.add_argument('--fast_placement', type=str, default='edges',
                         choices=['edges', 'mid'],
                         help="pdf sample placement (see eval.py)")
-    parser.add_argument('--fast_opacity_eps', type=float, default=0.15,
-                        help="auto-cull PROXY-opacity foreground threshold "
-                             "(the proxy overpredicts; see eval.py)")
+    parser.add_argument('--fast_opacity_eps', type=str, default='auto',
+                        help="auto-cull PROXY-opacity foreground threshold: "
+                             "a float, or 'auto' (default) to self-calibrate "
+                             "per frame from rendered-empty rays (the proxy "
+                             "overpredicts; see eval.py)")
     parser.add_argument('--fast_prepass', type=int, default=16,
                         help="prepass candidates/ray for auto-cull ranking")
     return parser.parse_args(args)
@@ -118,7 +120,9 @@ def main(hparams):
             distill_steps=hparams.fast_distill_steps,
             distill_batch=hparams.fast_distill_batch,
             cull=hparams.fast_cull, cull_margin=hparams.fast_cull_margin,
-            opacity_eps=hparams.fast_opacity_eps,
+            opacity_eps=(hparams.fast_opacity_eps
+                         if hparams.fast_opacity_eps == 'auto'
+                         else float(hparams.fast_opacity_eps)),
             prepass_candidates=hparams.fast_prepass,
             placement=hparams.fast_placement,
             rng=jax.random.PRNGKey(7))

@@ -77,7 +77,7 @@ def make_fast_eg3d_renderer(
     table_dtype=jnp.bfloat16,
     cull: Optional[str] = None,
     cull_margin: float = 1.2,
-    opacity_eps: float = 0.01,
+    opacity_eps="auto",                  # float, or "auto" to self-calibrate
     levels: int = 8,
     block: int = 128,
     prepass_candidates: Optional[int] = None,
@@ -100,10 +100,11 @@ def make_fast_eg3d_renderer(
     block-row reassembly) whose budget is sized from the PREVIOUS frame's
     foreground-block count — the same temporal scheme, block rationale
     (per-ray sort/gather/reassembly overhead made culling net-negative on
-    dense frames), and knobs (prepass_candidates, opacity_eps — note the
-    16x-overpredicting proxy makes tiny eps count near-empty rays as
-    foreground) as render/fast.py::make_auto_cull_renderer. First frame
-    renders all rays; `cull_margin` absorbs pose-to-pose drift.
+    dense frames), and knobs (prepass_candidates; opacity_eps float or
+    "auto" to self-calibrate per frame from rendered-empty rays — the
+    16x-overpredicting proxy makes any fixed eps scene-dependent) as
+    render/fast.py::make_auto_cull_renderer. First frame renders all
+    rays; `cull_margin` absorbs pose-to-pose drift.
 
     placement="mid" selects strata-centered quantiles u=(k+.5)/K instead
     of endpoint linspace (see proxy_march_select).
@@ -218,16 +219,30 @@ def make_fast_eg3d_renderer(
         nblocks = rp // block
 
         @jax.jit
-        def run(rays):
+        def run(rays, eps_in):
             rays8 = prep_rays8(rays, rp)
             opac = proxy_march.proxy_opacity(packed_proxy, rays8.T, prepass_c)
             opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
             score = jnp.max(opac.reshape(nblocks, block), axis=1)
-            n_fg_b = jnp.sum(score > opacity_eps)            # next budget
             order = jnp.argsort(-score)                      # (nblocks,)
             act = rays8.reshape(nblocks, block * 8)[order[:n_act_b]]
             rgb_a, depth_a, opac_a = render_core(
                 act.reshape(n_act_b * block, 8))
+            if auto_eps:
+                # same self-calibration as render/fast.py: 99.5th-pct
+                # prepass score among this frame's rendered-empty rays
+                bid = order[:n_act_b]
+                rid = bid[:, None] * block + jnp.arange(block)[None]
+                valid = (rid < r).reshape(-1)
+                act_pre = opac.reshape(nblocks, block)[bid].reshape(-1)
+                empty = (opac_a < 0.01) & valid
+                eps_cal = jnp.nanquantile(
+                    jnp.where(empty, act_pre, jnp.nan), 0.995)
+                eps_next = jnp.where(jnp.isnan(eps_cal), eps_in, eps_cal)
+                eps_next = jnp.clip(eps_next, 1e-4, 0.95)
+            else:
+                eps_next = eps_in
+            n_fg_b = jnp.sum(score > eps_next)               # next budget
             # block reassembly: payload row per rendered block + one
             # background row; inverse-permutation row gather puts every
             # block back (rows are 5*block wide — a large-row gather, not
@@ -245,10 +260,14 @@ def make_fast_eg3d_renderer(
             full = payload[take]                             # (nblocks, 5B)
             return {"rgb_fine": full[:, :block * 3].reshape(rp, 3),
                     "depth_fine": full[:, block * 3:block * 4].reshape(rp),
-                    "opacity_fine": full[:, block * 4:].reshape(rp)}, n_fg_b
+                    "opacity_fine": full[:, block * 4:].reshape(rp)
+                    }, n_fg_b, eps_next
         return run
 
-    budget = {"n_fg_b": None}   # previous frame's block count (device array)
+    auto_eps = opacity_eps == "auto"
+    # previous frame's block count + calibrated eps (device arrays)
+    budget = {"n_fg_b": None,
+              "eps": None if auto_eps else jnp.float32(opacity_eps)}
 
     def render_culled(rays: jax.Array) -> Dict[str, jax.Array]:
         r = rays.shape[0]
@@ -258,17 +277,22 @@ def make_fast_eg3d_renderer(
         quantum_b = -(-nblocks // (levels * blocks_per_tile)) * blocks_per_tile
         if budget["n_fg_b"] is None:
             n_act_b = nblocks                                # first frame
+            if budget["eps"] is None:
+                budget["eps"] = jnp.float32(2.0)  # frame-1 fallback: cull
+                # nothing until the full render has calibrated a real eps
         else:
             n_fg_b = int(budget["n_fg_b"])      # deferred, cheap fetch
             n_act_b = max(quantum_b,
                           -(-int(n_fg_b * cull_margin) // quantum_b)
                           * quantum_b)
         n_act_b = min(n_act_b, nblocks)
-        out, budget["n_fg_b"] = frame_program(n_act_b, rp, r)(
-            jnp.asarray(rays, jnp.float32))
+        out, budget["n_fg_b"], budget["eps"] = frame_program(n_act_b, rp, r)(
+            jnp.asarray(rays, jnp.float32), budget["eps"])
         render_culled.last_active_frac = n_act_b / nblocks
+        render_culled.last_eps = budget["eps"]
         return {k: v[:r] for k, v in out.items()}
 
     render_culled.proxy = proxy
     render_culled.last_active_frac = None
+    render_culled.last_eps = None
     return render_culled

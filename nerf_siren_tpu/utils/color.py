@@ -21,11 +21,16 @@ PART_COLORS = np.asarray(
 
 
 def colorize_cls(pred_map: np.ndarray) -> np.ndarray:
-    """(H, W) int class map -> (H, W, 3) uint8 color map (class 0 = black)."""
+    """(H, W) int class map -> (H, W, 3) uint8 color map (class 0 = black).
+
+    Classes 1-22 use the reference palette index directly (parity with the
+    19-class face-parsing sets); beyond that the palette cycles — Replica
+    scenes carry many more semantic classes than the palette has colors.
+    """
     pred = np.asarray(pred_map).astype(np.int32)
     out = np.zeros((*pred.shape, 3), np.uint8)
     for i in range(1, int(pred.max()) + 1):
-        out[pred == i] = PART_COLORS[i]
+        out[pred == i] = PART_COLORS[i % len(PART_COLORS)]
     return out
 
 

@@ -237,6 +237,7 @@ def test_auto_cull_renderer(proxy):
                                        rtol=0, atol=1e-6, err_msg=f"frame {frame}")
 
     lean = make_auto_cull_renderer(params, proxy, opacity_eps=2.0, **common)
+    assert lean.last_eps is None             # not rendered yet
     first = lean(rays)                       # full render, measures n_fg=0
     np.testing.assert_allclose(np.asarray(first["rgb_fine"]),
                                np.asarray(plain["rgb_fine"]), rtol=0, atol=1e-6)
@@ -250,3 +251,42 @@ def test_auto_cull_renderer(proxy):
     np.testing.assert_allclose(rgb[~is_bg],
                                np.asarray(plain["rgb_fine"])[~is_bg],
                                rtol=0, atol=1e-6)
+
+
+def test_auto_cull_eps_self_calibration(proxy):
+    """opacity_eps='auto' (the default): frame 1 renders everything with the
+    cull-nothing fallback eps, then calibrates the threshold from the rays
+    that rendered empty; later frames keep active rays identical to the
+    plain render and report a clamped, finite eps."""
+    from nerf_siren_tpu.render.fast import make_auto_cull_renderer
+
+    cfg = NeRFConfig()
+    params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+    packed_params = pack_model_params(params, cfg)
+    packed_proxy = pack_proxy_params(proxy)
+    r = 2 * TILE_R + 513
+    rays = _rays(r, seed=6)
+    common = dict(n_candidates=C, n_keep=K, nerf_cfg=cfg, white_back=True,
+                  packed_params=packed_params, packed_proxy=packed_proxy)
+
+    plain = render_rays_fast(params, proxy, rays, select="pdf", **common)
+    auto = make_auto_cull_renderer(params, proxy, **common)  # eps="auto"
+    first = auto(rays)                       # full render + calibration
+    np.testing.assert_allclose(np.asarray(first["rgb_fine"]),
+                               np.asarray(plain["rgb_fine"]),
+                               rtol=0, atol=1e-6)
+    eps1 = float(np.asarray(auto.last_eps))
+    had_empty = bool(np.any(np.asarray(plain["opacity_fine"]) < 0.01))
+    if had_empty:                            # calibrated within the clamp
+        assert 1e-4 <= eps1 <= 0.95
+    else:                                    # fallback preserved: cull nothing
+        assert eps1 == 2.0
+    for _ in range(2):                       # budget now sized by eps1
+        out = auto(rays)
+        rgb = np.asarray(out["rgb_fine"])
+        opac = np.asarray(out["opacity_fine"])
+        is_bg = np.all(rgb == 1.0, axis=-1) & (opac == 0.0)
+        np.testing.assert_allclose(
+            rgb[~is_bg], np.asarray(plain["rgb_fine"])[~is_bg],
+            rtol=0, atol=1e-6)
+        assert np.isfinite(float(np.asarray(auto.last_eps)))

@@ -259,7 +259,11 @@ def main():
         return float(-10 * np.log10(np.mean((a - b) ** 2) + 1e-12))
 
     def time_frames(frame_fn, arg):
-        rgb, chk = frame_fn(arg)
+        # the tunneled runtime RE-OPTIMIZES each program over its first ~20
+        # executions (verify skill; bench.py measures the same config ~20%
+        # faster than a once-warmed run) — warm past that phase
+        for _ in range(25):
+            rgb, chk = frame_fn(arg)
         float(chk)
         times = []
         for _ in range(3):
@@ -447,7 +451,12 @@ def main():
             (16, 1.2, 16, "mid", 0.15),
             (16, 1.2, 16, "mid", 0.30),
             (24, 1.2, 16, "mid", 0.15),
-            (32, 1.2, 16, "mid", 0.15)):
+            (32, 1.2, 16, "mid", 0.15),
+            # per-frame self-calibrated threshold (the shipped default —
+            # no scene-specific hand tuning)
+            (16, 1.2, 16, "mid", "auto"),
+            (24, 1.2, 16, "mid", "auto"),
+            (32, 1.2, 16, "mid", "auto")):
         auto_render = make_auto_cull_renderer(
             params, proxy, n_candidates=32, n_keep=k, nerf_cfg=nerf_cfg,
             white_back=True, scene_aabb=aabb, packed_params=packed,
@@ -468,15 +477,17 @@ def main():
             float(auto_frame(rd)[1])
         rgb, t = time_frames(auto_frame, pose_rays_dev[0])
         rate = H * W / t
-        agree, vs_gt, act = [], [], []
+        agree, vs_gt, act, eps_used = [], [], [], []
         for p, rd in enumerate(pose_rays_dev):
             r_p = np.asarray(auto_frame(rd)[0]).reshape(-1, 3)
             act.append(auto_render.last_active_frac)
+            eps_used.append(float(np.asarray(auto_render.last_eps)))
             agree.append(psnr(r_p, exact_rgbs[p]))
             vs_gt.append(psnr(r_p, poses[p]["gt"]))
         row = {"select": "pdf+fused-march+auto-cull", "n_candidates": 32,
                "n_keep": k, "margin": margin, "prepass_candidates": prepass_c,
                "placement": placement, "opacity_eps": eps,
+               "eps_per_pose": eps_used,
                "active_frac_per_pose": act,
                "rays_per_sec": rate,
                "agreement_db_vs_exact": float(np.mean(agree)),
@@ -486,7 +497,7 @@ def main():
                "psnr_vs_gt_per_pose": vs_gt}
         results["auto_cull_configs"].append(row)
         print(f"auto  C= 32 K={k:3d} margin={margin:.2f} "
-              f"pp={prepass_c or 32:2d} {placement[:4]} eps={eps:.2f} "
+              f"pp={prepass_c or 32:2d} {placement[:4]} eps={eps} "
               f"act={np.mean(act):.2f}: "
               f"{rate/1e6:6.2f} M rays/s  "
               f"agree mean {row['agreement_db_vs_exact']:6.2f} / "
