@@ -194,3 +194,21 @@ def test_nerf3d_system_conv3d_variant(rng):
     state, m = system.train_step(
         state, {"rays": rays, "rgbs": rgbs, "cls": cls_t}, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["train/total_loss"]))
+
+
+def test_colorize_cls_handles_classes_beyond_palette(tmp_path):
+    """Replica scenes carry more semantic classes than the reference's
+    23-color face-parsing palette; ids >= 23 must cycle, not crash
+    (regression: class 23 raised IndexError in train.py validation)."""
+    from nerf_siren_tpu.utils.color import PART_COLORS, color_cls, colorize_cls
+
+    pred = np.arange(30, dtype=np.int32).reshape(5, 6)
+    out = colorize_cls(pred)
+    assert out.shape == (5, 6, 3)
+    # class 0 black; 1..22 exact reference palette; >=23 cycles
+    assert np.all(out[0, 0] == 0)
+    assert np.array_equal(out[0, 1], PART_COLORS[1])
+    assert np.array_equal(out.reshape(-1, 3)[23], PART_COLORS[0])
+    img = np.zeros((5, 6, 3), np.uint8)
+    overlay = color_cls(img, pred, str(tmp_path))
+    assert overlay.shape == (5, 6, 3)

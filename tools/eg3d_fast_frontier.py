@@ -149,7 +149,9 @@ def main():
     # cut the sort/gather overhead, and eps must account for the
     # 16x-overpredicting proxy (see tools/fast_frontier.py)
     for k, eps, placement in ((16, 0.01, "mid"), (16, 0.15, "mid"),
-                              (8, 0.15, "mid")):
+                              (8, 0.15, "mid"),
+                              # per-frame self-calibrated eps (the default)
+                              (16, "auto", "mid"), (24, "auto", "mid")):
         fast = make_fast_eg3d_renderer(
             params["eg3d_renderer"], cfg, n_candidates=32, n_keep=k,
             distill_steps=args.distill_steps, rng=jax.random.PRNGKey(7),
