@@ -229,7 +229,26 @@ def main(hparams):
         with open(hparams.ckpt_path, 'rb') as f:
             ckpt_sha = hashlib.sha256(f.read()).digest()
         proxy = aabb = None
-        if proxy_path != 'none' and os.path.exists(proxy_path):
+        # checkpoints trained with --train_backend culled/culled_fused carry
+        # their ONLINE placement proxy under the 'proxy' prefix
+        # (training/system.py init_params): reuse it — it tracked the final
+        # field with the same asymmetric objective distillation uses, so no
+        # distillation pass is needed at all. An explicit --fast_proxy_path
+        # opts back into the distillation cache.
+        if hparams.fast_proxy_path is None:
+            from nerf_siren_tpu.training.checkpoints import (
+                extract_model_state, load_checkpoint)
+            try:
+                trained = extract_model_state(
+                    load_checkpoint(hparams.ckpt_path), 'proxy')
+            except Exception:
+                trained = None
+            if trained is not None:
+                proxy = jax.tree_util.tree_map(jnp.asarray, trained)
+                aabb = estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3)
+                print('reusing the online culled-training proxy from the '
+                      'checkpoint (no distillation)', flush=True)
+        if proxy is None and proxy_path != 'none' and os.path.exists(proxy_path):
             from nerf_siren_tpu.training.checkpoints import load_checkpoint
             try:
                 blob = load_checkpoint(proxy_path)

@@ -53,7 +53,11 @@ class NeRFSystem:
         siren_hidden: int = 256,
         siren_layers: int = 8,
         siren_z_dim: int = 100,
-        train_backend: str = "jnp",        # 'jnp' | 'fused'
+        train_backend: str = "jnp",  # 'jnp' | 'fused' | 'culled' | 'culled_fused'
+        culled_candidates: int = 32,
+        culled_sel: int = 16,
+        culled_uni: int = 8,
+        proxy_lambda: float = 1.0,
     ):
         self.render_cfg = render_cfg
         self.train_cfg = train_cfg
@@ -71,13 +75,27 @@ class NeRFSystem:
         # (ops/pallas/fused_mlp_train.py) — bf16 mixed precision, ~3x the
         # field fwd+bwd (measured on-chip); eval/render keeps the jnp path.
         # Restricted to the reference topology the kernel implements.
-        if train_backend == "fused":
+        # 'culled': proxy-culled training (render/culled_train.py) — an
+        # online-distilled proxy places culled_sel samples/ray, culled_uni
+        # stratified-uniform samples stay as the exploration floor, both
+        # networks evaluate only the merged K depths. 'culled_fused'
+        # additionally runs those evaluations through the fused Pallas
+        # training kernels. Opt-in accelerators; convergence parity vs the
+        # reference recipe is measured by tools/fused_train_parity.py.
+        if train_backend in ("fused", "culled_fused"):
             assert field_type == "mlp" and nerf_cfg.width == 256 \
                 and nerf_cfg.depth == 8 and nerf_cfg.skips == (4,) \
                 and nerf_cfg.n_classes == 0, (
-                    "fused train backend supports the reference 8x256 "
+                    "fused train backends support the reference 8x256 "
                     "skip-(4,) topology without a semantic head")
+        if train_backend in ("culled", "culled_fused"):
+            assert render_cfg.n_importance > 0 and field_type == "mlp", (
+                "culled training needs a fine network and the MLP field")
         self.train_backend = train_backend
+        self.culled_candidates = culled_candidates
+        self.culled_sel = culled_sel
+        self.culled_uni = culled_uni
+        self.proxy_lambda = proxy_lambda
         self._train_step = None
         self._train_scan = None
         self._train_scan_batches = None
@@ -107,6 +125,13 @@ class NeRFSystem:
         params = {"coarse": make(k_coarse)}
         if self.render_cfg.n_importance > 0:
             params["fine"] = make(k_fine)
+        if self.train_backend in ("culled", "culled_fused"):
+            # online-trained placement proxy (render/culled_train.py); saved
+            # in checkpoints under the 'proxy' prefix, where eval.py's fast
+            # renderer can reuse it instead of re-distilling
+            from nerf_siren_tpu.render.fast import init_proxy
+            params["proxy"] = init_proxy(jax.random.fold_in(rng, 2),
+                                         hidden=64)
         return params
 
     def init_state(self, rng: jax.Array) -> TrainState:
@@ -124,7 +149,7 @@ class NeRFSystem:
         render_cfg = self.render_cfg.replace(test_time=False)
         nerf_cfg = self.nerf_cfg
         tx, loss_fn = self.tx, self.loss_fn
-        if self.train_backend == "fused":
+        if self.train_backend in ("fused", "culled_fused"):
             from nerf_siren_tpu.ops.pallas.fused_mlp_train import (
                 make_fused_train_field_fn)
 
@@ -133,11 +158,27 @@ class NeRFSystem:
         else:
             field_fn_for = self._field_fn
 
+        culled = self.train_backend in ("culled", "culled_fused")
+        culled_kw = dict(n_candidates=self.culled_candidates,
+                         n_sel=self.culled_sel, n_uni=self.culled_uni)
+        proxy_lambda = self.proxy_lambda
+
         def train_step(state: TrainState, rays: jax.Array, rgbs: jax.Array,
                        rng: jax.Array, cls_target: Optional[jax.Array] = None):
             step_rng = jax.random.fold_in(rng, state.step)
 
             def compute_loss(params):
+                if culled:
+                    from nerf_siren_tpu.render.culled_train import (
+                        render_rays_culled)
+                    out, p_loss = render_rays_culled(
+                        params, rays, render_cfg, step_rng,
+                        nerf_cfg=nerf_cfg, field_fn=field_fn_for(rays),
+                        **culled_kw)
+                    losses = loss_fn(out, rgbs, cls_target=cls_target)
+                    losses = dict(losses, proxy=p_loss,
+                                  sum=losses["sum"] + proxy_lambda * p_loss)
+                    return losses["sum"], (losses, out)
                 out = render_rays(params, rays, render_cfg, step_rng,
                                   nerf_cfg=nerf_cfg, field_fn=field_fn_for(rays))
                 losses = loss_fn(out, rgbs, cls_target=cls_target)
@@ -203,6 +244,10 @@ class NeRFSystem:
         gradients are averaged across micro-batches inside a lax.scan,
         then applied once. The batch's leading dim must divide by n_micro.
         Loss/psnr metrics are micro-batch means."""
+        if self.train_backend in ("culled", "culled_fused"):
+            raise NotImplementedError(
+                "train_step_accum supports the jnp/fused backends; use "
+                "train_step or train_scan with the culled backends")
         if self._train_accum is None:
             render_cfg = self.render_cfg.replace(test_time=False)
             nerf_cfg, tx, loss_fn = self.nerf_cfg, self.tx, self.loss_fn

@@ -52,12 +52,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help='rays per compiled tile (memory bound)')
     parser.add_argument('--num_epochs', type=int, default=16)
     parser.add_argument('--train_backend', type=str, default='jnp',
-                        choices=['jnp', 'fused'],
+                        choices=['jnp', 'fused', 'culled', 'culled_fused'],
                         help='fused: train the field through the VMEM-'
                              'resident Pallas fwd+bwd kernels (bf16 mixed '
                              'precision, ~3x the field fwd+bwd on-chip; '
-                             'reference 8x256 topology, mode normal). jnp '
-                             '(default) keeps the f32 parity path')
+                             'reference 8x256 topology, mode normal). '
+                             'culled: proxy-culled sample placement '
+                             '(render/culled_train.py) — an online-'
+                             'distilled proxy replaces the coarse pass\'s '
+                             'placement role and both networks evaluate '
+                             'only K selected+uniform samples/ray. '
+                             'culled_fused: both. jnp (default) keeps the '
+                             'f32 parity path')
     parser.add_argument('--steps_per_dispatch', type=int, default=1,
                         help='group N epoch batches into one lax.scan device '
                              'program (train_scan_batches); semantics '

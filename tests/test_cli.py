@@ -538,3 +538,52 @@ def test_eval_cli_fast_proxy_cache(workdir, scene_root, capfd):
         assert "re-distilling" in out3
     finally:
         os.chdir(cwd)
+
+
+def test_train_culled_backend_eval_reuses_online_proxy(workdir, scene_root,
+                                                       capfd):
+    """--train_backend culled: the online placement proxy trains jointly and
+    lands in the checkpoint under the 'proxy' prefix; a later
+    eval --renderer fast must reuse it and skip distillation entirely."""
+    wd, _ = workdir
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from opt import get_opts
+        from train import main
+        hparams = get_opts([
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--img_wh", "40", "40",
+            "--N_samples", "24", "--N_importance", "8",
+            "--batch_size", "1024",
+            "--num_epochs", "1",
+            "--lr", "1e-3",
+            "--decay_step", "100",
+            "--exp_name", "smoke_culled",
+            "--train_backend", "culled",
+        ])
+        state = main(hparams)
+        assert "proxy" in state.params
+        ckpt = sorted(glob.glob(
+            os.path.join(wd, "ckpts", "smoke_culled", "*.msgpack")))[-1]
+        capfd.readouterr()
+        from eval import get_opts as eval_opts, main as eval_main
+        mean_psnr = eval_main(eval_opts([
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--split", "test",
+            "--img_wh", "40", "40",
+            "--N_samples", "24", "--N_importance", "8",
+            "--ckpt_path", ckpt,
+            "--scene_name", "sphere_culled",
+            "--renderer", "fast",
+            "--fast_candidates", "24", "--fast_keep", "8",
+            "--compute_dtype", "float32",
+        ]))
+        out = capfd.readouterr().out
+        assert "reusing the online culled-training proxy" in out
+        assert "distilling density proxy" not in out
+        assert mean_psnr is not None and np.isfinite(mean_psnr)
+    finally:
+        os.chdir(cwd)
