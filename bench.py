@@ -409,13 +409,38 @@ def _extract_json_line(text: str) -> dict | None:
     return None
 
 
+def _probe_device(timeout_s: float) -> tuple[bool, str]:
+    """Cheap tunnel-health check in a throwaway subprocess.
+
+    A WEDGED tunnel (the observed failure mode in rounds 1-3) does not
+    error — ``jax.devices()`` hangs forever at backend init.  Probing with
+    a short timeout before committing to a full measurement attempt turns
+    a 1800 s wasted worker timeout into a ~2 min check, so the supervisor
+    can sweep many more recovery windows inside the same total budget.
+    """
+    code = ("import jax, jax.numpy as jnp; d = jax.devices(); "
+            "assert float(jnp.sum(jnp.ones((8, 8)))) == 64.0; "
+            "print('PROBE_OK', d)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"device probe hung >{timeout_s:.0f}s (tunnel wedged)"
+    if r.returncode == 0 and "PROBE_OK" in r.stdout:
+        return True, ""
+    tail = "\n".join((r.stderr or r.stdout).strip().splitlines()[-2:])
+    return False, f"device probe rc {r.returncode}: {tail[-300:]}"
+
+
 def supervisor() -> int:
-    max_attempts = 3
-    backoff_s = 60
+    max_attempts = 12          # cheap probes make many attempts affordable
+    backoff_s = 120
+    probe_timeout_s = 150
     attempt_timeout_s = 1800
     total_budget_s = 4200  # hard wall for the whole bench
     start = time.monotonic()
     last_err = "unknown"
+    full_attempts = 0
 
     try:
         os.remove(PARTIAL_PATH)
@@ -425,9 +450,22 @@ def supervisor() -> int:
     for attempt in range(1, max_attempts + 1):
         remaining = total_budget_s - (time.monotonic() - start)
         if remaining < 120:
-            last_err = f"total budget exhausted before attempt {attempt}"
+            last_err = (f"total budget exhausted before attempt {attempt}"
+                        f" (last: {last_err})")
             break
-        print(f"# bench attempt {attempt}/{max_attempts}",
+        ok, probe_err = _probe_device(min(probe_timeout_s, remaining))
+        if not ok:
+            last_err = f"attempt {attempt}: {probe_err}"
+            print(f"# {last_err}", file=sys.stderr, flush=True)
+            time.sleep(min(backoff_s, max(0.0, total_budget_s -
+                                          (time.monotonic() - start))))
+            continue
+        if full_attempts >= 3:
+            last_err = (f"3 full measurement attempts failed despite healthy "
+                        f"probes (last: {last_err})")
+            break
+        full_attempts += 1
+        print(f"# bench attempt {attempt}/{max_attempts} (probe ok)",
               file=sys.stderr, flush=True)
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",
@@ -463,7 +501,8 @@ def supervisor() -> int:
             last_err = f"attempt {attempt}: rc {proc.returncode}: {tail[-500:]}"
         print(f"# attempt {attempt} failed", file=sys.stderr, flush=True)
         if attempt < max_attempts:
-            time.sleep(backoff_s)
+            time.sleep(min(backoff_s, max(0.0, total_budget_s -
+                                          (time.monotonic() - start))))
 
     # Permanent failure: report partial metrics if the headline landed,
     # else the null-value record with the cause — never a silent rc:1.

@@ -504,6 +504,10 @@ def test_eval_cli_fast_proxy_cache(workdir, scene_root, capfd):
     (skip distillation) and invalidate when the distill config changes."""
     wd, _ = workdir
     ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "smoke", "*.msgpack")))[-1]
+    # explicit cache location: other fast-renderer tests share this module's
+    # ckpt and would pre-populate the default <ckpt>.proxy.msgpack cache,
+    # making the first invocation here a reuse instead of a save
+    proxy_cache = os.path.join(wd, "proxycache_test.msgpack")
     cwd = os.getcwd()
     os.chdir(wd)
     try:
@@ -519,10 +523,11 @@ def test_eval_cli_fast_proxy_cache(workdir, scene_root, capfd):
             "--renderer", "fast",
             "--fast_candidates", "24", "--fast_keep", "8",
             "--fast_distill_steps", "20", "--fast_distill_batch", "2048",
+            "--fast_proxy_path", proxy_cache,
             "--compute_dtype", "float32",
         ]
         p1 = eval_main(eval_opts(args))
-        assert os.path.exists(ckpt + ".proxy.msgpack")
+        assert os.path.exists(proxy_cache)
         out1 = capfd.readouterr().out
         assert "saved distilled proxy" in out1
         p2 = eval_main(eval_opts(args))
