@@ -182,7 +182,7 @@ def worker(partial_path: str) -> None:
     sec["fast_path_aggressive_rays_per_sec"] = round(fast_fast, 1)
     sec["fast_p50_frame_latency_aggressive_s"] = round(fast_fast_lat, 4)
     fast_cull, fast_cull_lat = time_fast(32, 16, cull=0.65)
-    sec["fast_path_culled_32db_rays_per_sec"] = round(fast_cull, 1)
+    sec["fast_path_fixed_cull065_rays_per_sec"] = round(fast_cull, 1)
     sec["fast_p50_frame_latency_culled_s"] = round(fast_cull_lat, 4)
     sec["fast_path_note"] = (
         "proxy-culled renderer (render/fast.py): fused Pallas proxy-march "
@@ -455,11 +455,21 @@ def supervisor() -> int:
             break
         ok, probe_err = _probe_device(min(probe_timeout_s, remaining))
         if not ok:
-            last_err = f"attempt {attempt}: {probe_err}"
-            print(f"# {last_err}", file=sys.stderr, flush=True)
-            time.sleep(min(backoff_s, max(0.0, total_budget_s -
-                                          (time.monotonic() - start))))
-            continue
+            # Patient fallback: backend init has been MEASURED to take up to
+            # ~25 min on this tunnel and then succeed (r3), so short probes
+            # alone would write off a recoverable round. Once half the budget
+            # is gone with zero full attempts, commit the rest of the budget
+            # to one worker that simply waits at jax.devices().
+            half_spent = (time.monotonic() - start) > total_budget_s / 2
+            if not (half_spent and full_attempts == 0):
+                last_err = f"attempt {attempt}: {probe_err}"
+                print(f"# {last_err}", file=sys.stderr, flush=True)
+                time.sleep(min(backoff_s, max(0.0, total_budget_s -
+                                              (time.monotonic() - start))))
+                continue
+            print("# probes failing at half budget — launching one patient "
+                  "attempt (worker waits at backend init)",
+                  file=sys.stderr, flush=True)
         if full_attempts >= 3:
             last_err = (f"3 full measurement attempts failed despite healthy "
                         f"probes (last: {last_err})")

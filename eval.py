@@ -77,12 +77,14 @@ def get_opts(args=None):
     parser.add_argument('--fast_cull_margin', type=float, default=1.2,
                         help="auto-cull budget headroom over the measured "
                              "foreground ray count")
-    parser.add_argument('--fast_placement', type=str, default='edges',
+    parser.add_argument('--fast_placement', type=str, default='mid',
                         choices=['edges', 'mid'],
-                        help="pdf sample placement: 'edges' = reference "
-                             "sample_pdf det semantics u=k/(K-1); 'mid' = "
-                             "strata-centered u=(k+.5)/K (better quadrature "
-                             "at small K, measured on the frontier scene)")
+                        help="pdf sample placement: 'mid' (default) = "
+                             "strata-centered u=(k+.5)/K — better quadrature "
+                             "at small K, measured +0.2 dB agreement at equal "
+                             "speed (docs/fast_frontier_cluster.json); "
+                             "'edges' = the reference sample_pdf's "
+                             "deterministic u=k/(K-1) endpoint placement")
     parser.add_argument('--fast_opacity_eps', type=str, default='auto',
                         help="auto-cull foreground threshold on PROXY "
                              "opacity: a float, or 'auto' (default) to "

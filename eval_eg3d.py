@@ -53,7 +53,7 @@ def get_opts(args=None):
                              'the previous frame (renders the whole frame '
                              'as one program; --chunk is ignored)')
     parser.add_argument('--fast_cull_margin', type=float, default=1.2)
-    parser.add_argument('--fast_placement', type=str, default='edges',
+    parser.add_argument('--fast_placement', type=str, default='mid',
                         choices=['edges', 'mid'],
                         help="pdf sample placement (see eval.py)")
     parser.add_argument('--fast_opacity_eps', type=str, default='auto',

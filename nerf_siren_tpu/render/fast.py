@@ -177,7 +177,7 @@ def render_rays_fast(
     packed_proxy: Optional[Dict[str, Any]] = None,
     adaptive: Optional[Tuple[float, int]] = None,
     cull: Optional[float] = None,
-    placement: str = "edges",
+    placement: str = "mid",
 ) -> Dict[str, jax.Array]:
     """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity.
 
@@ -236,7 +236,18 @@ def render_rays_fast(
       frame's true foreground; rays ranked below the budget render as
       background even if occupied, so size it with headroom (the
       frontier tool measures the quality cost on a 40-50%-foreground
-      frame)."""
+      frame). NOTE: a fixed fraction is inherently per-pose — the
+      multi-pose frontier (docs/fast_frontier.json) shows cull=0.65
+      collapsing to 14 dB on sparser poses of the same scene; prefer
+      make_auto_cull_renderer, which sizes the budget per frame.
+
+    placement: 'mid' (default) places pdf samples at strata-centered
+      quantiles u=(k+.5)/K — no sample burnt at CDF 0/1, measured +0.2 dB
+      agreement at equal speed (docs/fast_frontier_cluster.json);
+      'edges' reproduces the reference sample_pdf's deterministic
+      endpoint placement u=k/(K-1) (the parity op ops/sample_pdf.py
+      keeps 'edges' as ITS default — this fast mode is not a parity
+      surface)."""
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -512,7 +523,7 @@ def make_auto_cull_renderer(
     levels: int = 16,
     block: int = 128,
     prepass_candidates: Optional[int] = None,
-    placement: str = "edges",
+    placement: str = "mid",
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Frame-global empty-ray culling at ray-BLOCK granularity.
 

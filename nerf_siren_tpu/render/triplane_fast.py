@@ -81,7 +81,7 @@ def make_fast_eg3d_renderer(
     levels: int = 8,
     block: int = 128,
     prepass_candidates: Optional[int] = None,
-    placement: str = "edges",
+    placement: str = "mid",
     proxy: Optional[Dict[str, Any]] = None,
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Build a proxy-culled renderer for ONE synthesized scene.
