@@ -32,11 +32,31 @@ PARTIAL_PATH = "/tmp/bench_partial.json"
 
 
 def _write_partial(path: str, data: dict) -> None:
+    """Checkpoint metrics, MERGING with any partial left by a prior attempt.
+
+    A retry that dies early must not regress coverage: attempt 1 may have
+    checkpointed 10 secondary metrics before crashing late; attempt 2's
+    first write would otherwise shrink the file to the headline only, and
+    the supervisor's permanent-failure path reports whatever is on disk.
+    Fresh measurements override stale ones key-by-key; missing keys keep
+    the prior attempt's values.
+    """
     if not path:
         return
+    merged = data
+    try:
+        with open(path) as f:
+            old = json.load(f)
+        merged = dict(old)
+        merged.update({k: v for k, v in data.items()
+                       if k != "secondary" and v is not None})
+        merged["secondary"] = {**old.get("secondary", {}),
+                               **data.get("secondary", {})}
+    except (OSError, ValueError):
+        pass
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(data, f)
+        json.dump(merged, f)
     os.replace(tmp, path)
 
 

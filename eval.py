@@ -167,6 +167,12 @@ def main(hparams):
         # semantic evaluation (reference eval.py:122-150): points model by
         # prefix, exact render through render_rays_3d; class maps written in
         # the frame loop below
+        if hparams.renderer not in ('exact', 'fused'):
+            # same loud-fallback policy as the fused/N_importance case above:
+            # never silently change the user's renderer choice
+            print(f'NOTE: --mode d3 always renders through the exact '
+                  f'render_rays_3d path; ignoring --renderer '
+                  f'{hparams.renderer}', flush=True)
         from nerf_siren_tpu.render.rendering_3d import render_rays_3d
 
         if hparams.semantic_network == 'pointnet':

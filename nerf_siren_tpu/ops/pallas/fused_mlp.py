@@ -363,9 +363,14 @@ def fused_nerf_full(packed: Dict[str, jnp.ndarray], xyz: jnp.ndarray,
 
 def pack_model_params(params: Dict[str, Any], cfg: NeRFConfig = NeRFConfig(),
                       n_freqs_xyz: int = 10, n_freqs_dir: int = 4):
-    """Pack each model in a {'coarse': ..., 'fine': ...} dict."""
+    """Pack each NeRF field in a {'coarse': ..., 'fine': ...} dict.
+
+    Non-field subtrees are skipped: the culled training backends keep a
+    distilled placement proxy under params['proxy'] ({'l1','l2'}), which
+    has no kernel packing and would KeyError in pack_nerf_params.
+    """
     return {k: pack_nerf_params(v, cfg, n_freqs_xyz, n_freqs_dir)
-            for k, v in params.items()}
+            for k, v in params.items() if "xyz_layers" in v}
 
 
 def make_fused_field_fn(rays_d: jnp.ndarray, cfg: NeRFConfig = NeRFConfig()):

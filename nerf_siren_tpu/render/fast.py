@@ -637,11 +637,18 @@ def make_auto_cull_renderer(
                 empty = (out[f"opacity_{model}"] < 0.01) & valid
                 eps_cal = jnp.nanquantile(
                     jnp.where(empty, act_pre.reshape(-1), jnp.nan), 0.995)
+                # clip BEFORE the fallback select: clipping after would
+                # collapse the keep-previous-eps value (e.g. the frame-1
+                # cull-nothing 2.0) to 0.95 on any frame with no empty rays
+                eps_cal = jnp.clip(eps_cal, 1e-4, 0.95)
                 eps_next = jnp.where(jnp.isnan(eps_cal), eps_in, eps_cal)
-                eps_next = jnp.clip(eps_next, 1e-4, 0.95)
             else:
                 eps_next = eps_in
-            n_fg_b = jnp.sum(score > eps_next)               # next budget
+            # sentinel eps (>1 = "not yet calibrated") budgets EVERY real
+            # block (padded blocks score -1), not zero blocks: cull nothing
+            # until a real threshold exists
+            thr = jnp.where(eps_next > 1.0, -0.5, eps_next)
+            n_fg_b = jnp.sum(score > thr)                    # next budget
             # block reassembly: payload row per rendered block + one
             # background row; inverse-permutation row gather puts every
             # block back (rows are 5*block wide — a large-row gather,
@@ -672,9 +679,7 @@ def make_auto_cull_renderer(
 
     def render(rays: jax.Array) -> Dict[str, jax.Array]:
         r = rays.shape[0]
-        pad_r = -r % tile
-        rp = r + pad_r
-        rays8 = jnp.pad(jnp.asarray(rays, jnp.float32), ((0, pad_r), (0, 0)))
+        rp = r + (-r % tile)
         nblocks = rp // block
         # budget quantum in blocks; chunk_b*block stays a TILE_R multiple
         quantum_b = -(-nblocks // (levels * blocks_per_tile)) * blocks_per_tile
@@ -688,11 +693,17 @@ def make_auto_cull_renderer(
             n_act_b = max(quantum_b,
                           -(-int(n_fg_b * margin) // quantum_b) * quantum_b)
         if n_act_b >= nblocks:
-            n_act_b, chunk_b = nblocks, quantum_b            # plain path
-            while nblocks % chunk_b:
-                chunk_b += blocks_per_tile
+            # plain path: pad the frame up to a quantum_b multiple rather
+            # than growing the chunk toward a divisor of nblocks — that
+            # search escalates to the WHOLE frame in one lax.map step when
+            # nblocks has no small divisors past blocks_per_tile (800²,
+            # block=128: nblocks=5008=16·313 with 313 prime)
+            nblocks = -(-nblocks // quantum_b) * quantum_b
+            rp = nblocks * block                 # multiple of tile: quantum_b
+            n_act_b, chunk_b = nblocks, quantum_b  # is a blocks_per_tile mult
         else:
             chunk_b = quantum_b
+        rays8 = jnp.pad(jnp.asarray(rays, jnp.float32), ((0, rp - r), (0, 0)))
         out, budget["n_fg_b"], budget["eps"] = frame_program(
             n_act_b, chunk_b, rp, r)(rays8, budget["eps"])
         render.last_active_frac = n_act_b / nblocks   # diagnostics

@@ -238,11 +238,18 @@ def make_fast_eg3d_renderer(
                 empty = (opac_a < 0.01) & valid
                 eps_cal = jnp.nanquantile(
                     jnp.where(empty, act_pre, jnp.nan), 0.995)
+                # clip BEFORE the fallback select — clipping after would
+                # collapse the keep-previous-eps value (frame-1's
+                # cull-nothing 2.0) to 0.95 when no empty rays rendered
+                eps_cal = jnp.clip(eps_cal, 1e-4, 0.95)
                 eps_next = jnp.where(jnp.isnan(eps_cal), eps_in, eps_cal)
-                eps_next = jnp.clip(eps_next, 1e-4, 0.95)
             else:
                 eps_next = eps_in
-            n_fg_b = jnp.sum(score > eps_next)               # next budget
+            # sentinel eps (>1 = "not yet calibrated") budgets EVERY real
+            # block (padded blocks score -1): cull nothing until a real
+            # threshold exists
+            thr = jnp.where(eps_next > 1.0, -0.5, eps_next)
+            n_fg_b = jnp.sum(score > thr)                    # next budget
             # block reassembly: payload row per rendered block + one
             # background row; inverse-permutation row gather puts every
             # block back (rows are 5*block wide — a large-row gather, not

@@ -130,14 +130,24 @@ class AsyncCheckpointer:
 
     def _drain_done(self) -> None:
         # surface background write failures (disk full, permissions) instead
-        # of silently keeping phantom paths in the caller's top-K list
-        still_pending = []
-        for fut in self._pending:
-            if fut.done():
-                fut.result()  # raises here if the write failed
-            else:
-                still_pending.append(fut)
-        self._pending = still_pending
+        # of silently keeping phantom paths in the caller's top-K list. The
+        # pending list is pruned BEFORE raising, so one failed write is
+        # reported exactly once and later futures stay tracked and joined.
+        done = [f for f in self._pending if f.done()]
+        self._pending = [f for f in self._pending if not f.done()]
+        self._raise_first(done)
+
+    @staticmethod
+    def _raise_first(futures) -> None:
+        err = None
+        for fut in futures:  # join ALL before raising — no abandoned writes
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001 — surfaced to the caller
+                if err is None:
+                    err = e
+        if err is not None:
+            raise err
 
     def save_train_state(self, path: str, state: Any, epoch: int) -> None:
         self._drain_done()
@@ -151,8 +161,7 @@ class AsyncCheckpointer:
 
     def wait(self) -> None:
         pending, self._pending = self._pending, []
-        for fut in pending:
-            fut.result()
+        self._raise_first(pending)
 
 
 def restore_train_state(path: str, state_template: Any):

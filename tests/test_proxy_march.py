@@ -290,3 +290,33 @@ def test_auto_cull_eps_self_calibration(proxy):
             rgb[~is_bg], np.asarray(plain["rgb_fine"])[~is_bg],
             rtol=0, atol=1e-6)
         assert np.isfinite(float(np.asarray(auto.last_eps)))
+
+
+def test_auto_cull_no_empty_rays_keeps_cull_nothing(proxy):
+    """Regression (round-3 review): on a frame with NO rendered-empty rays,
+    (a) the keep-previous-eps fallback must survive the clamp — the clip
+    used to run AFTER the select and collapsed the frame-1 sentinel 2.0 to
+    0.95 — and (b) the sentinel must budget every block for the next frame,
+    not `sum(score > 2.0) = 0` blocks."""
+    from nerf_siren_tpu.render.fast import make_auto_cull_renderer
+
+    cfg = NeRFConfig()
+    params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+    # fully-opaque field: every sample's sigma is pushed far positive
+    params["fine"]["sigma"]["bias"] = params["fine"]["sigma"]["bias"] + 50.0
+    packed_params = pack_model_params(params, cfg)
+    packed_proxy = pack_proxy_params(proxy)
+    rays = _rays(TILE_R + 1, seed=7)
+    auto = make_auto_cull_renderer(
+        params, proxy, n_candidates=C, n_keep=K, nerf_cfg=cfg,
+        white_back=True, packed_params=packed_params,
+        packed_proxy=packed_proxy)
+    first = auto(rays)
+    assert float(np.min(np.asarray(first["opacity_fine"]))) > 0.5, \
+        "fixture must render zero empty rays"
+    assert float(np.asarray(auto.last_eps)) == 2.0  # fallback preserved
+    second = auto(rays)                             # budget from frame 1
+    assert auto.last_active_frac == 1.0             # nothing culled
+    np.testing.assert_allclose(np.asarray(second["rgb_fine"]),
+                               np.asarray(first["rgb_fine"]),
+                               rtol=0, atol=1e-6)

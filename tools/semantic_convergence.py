@@ -76,8 +76,14 @@ def main():
         print("\n".join(tail[-4:]), flush=True)
 
         import glob as globmod
+        import re
+
+        def _step_key(p):
+            # numeric sort: lexicographic puts 'epoch=9' after 'epoch=11'
+            return [int(x) for x in re.findall(r"\d+", os.path.basename(p))]
+
         ckpts = sorted(globmod.glob(
-            os.path.join(workdir, "ckpts", exp, "*.msgpack")))
+            os.path.join(workdir, "ckpts", exp, "*.msgpack")), key=_step_key)
         eval_cmd = [
             sys.executable, os.path.join(REPO, "eval.py"),
             "--root_dir", scene, "--dataset_name", "replica",
