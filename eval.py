@@ -85,6 +85,14 @@ def get_opts(args=None):
                              "speed (docs/fast_frontier_cluster.json); "
                              "'edges' = the reference sample_pdf's "
                              "deterministic u=k/(K-1) endpoint placement")
+    parser.add_argument('--fast_quadrature', type=str, default='delta',
+                        choices=['delta', 'ratio'],
+                        help="fast-path alpha integration: 'delta' = "
+                             "consecutive-difference deltas; 'ratio' = "
+                             "proxy-shaped stratum quadrature (requires "
+                             "fast_placement=mid) — exact at any K when "
+                             "the field matches the placement CDF's "
+                             "implied density (render/fast.py docstring)")
     parser.add_argument('--fast_opacity_eps', type=str, default='auto',
                         help="auto-cull foreground threshold on PROXY "
                              "opacity: a float, or 'auto' (default) to "
@@ -331,7 +339,8 @@ def main(hparams):
                              if hparams.fast_opacity_eps == 'auto'
                              else float(hparams.fast_opacity_eps)),
                 prepass_candidates=hparams.fast_prepass,
-                placement=hparams.fast_placement)
+                placement=hparams.fast_placement,
+                quadrature=hparams.fast_quadrature)
 
             def render(params, rays):
                 return auto_render(rays)
@@ -352,7 +361,8 @@ def main(hparams):
                         compute_dtype=compute_dtype, scene_aabb=aabb,
                         select=hparams.fast_select, packed_params=fast_packed,
                         packed_proxy=fast_packed_proxy, adaptive=fast_adaptive,
-                        cull=fast_cull, placement=hparams.fast_placement),
+                        cull=fast_cull, placement=hparams.fast_placement,
+                        quadrature=hparams.fast_quadrature),
                     tiles)
                 return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
                         for k, v in out.items()}

@@ -56,6 +56,14 @@ def get_opts(args=None):
     parser.add_argument('--fast_placement', type=str, default='mid',
                         choices=['edges', 'mid'],
                         help="pdf sample placement (see eval.py)")
+    parser.add_argument('--fast_quadrature', type=str, default='delta',
+                        choices=['delta', 'ratio'],
+                        help="fast-path alpha integration: 'delta' = "
+                             "consecutive-difference deltas; 'ratio' = "
+                             "proxy-shaped stratum quadrature (requires "
+                             "fast_placement=mid) — exact at any K when "
+                             "the field matches the placement CDF's "
+                             "implied density (render/fast.py docstring)")
     parser.add_argument('--fast_opacity_eps', type=str, default='auto',
                         help="auto-cull PROXY-opacity foreground threshold: "
                              "a float, or 'auto' (default) to self-calibrate "
@@ -125,6 +133,7 @@ def main(hparams):
                          else float(hparams.fast_opacity_eps)),
             prepass_candidates=hparams.fast_prepass,
             placement=hparams.fast_placement,
+            quadrature=hparams.fast_quadrature,
             rng=jax.random.PRNGKey(7))
 
         if hparams.fast_cull == 'auto':

@@ -169,8 +169,8 @@ def _opacity_kernel(C, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1, w2, b2,
     out_ref[...] = jnp.where(row == 0, opac, 0.0)
 
 
-def _march_kernel(C, K, midpoint, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1,
-                  w2, b2, z_ref, xyz_ref, dir_ref):
+def _march_kernel(C, K, midpoint, density, x_ref, s_o, s_d, p, w1x_o, w1x_d,
+                  w1s, b1, w2, b2, z_ref, xyz_ref, dir_ref, *maybe_aux):
     x = x_ref[...]                                    # (8, T) f32
     tile = x.shape[1]
     o = x[0:3]
@@ -192,7 +192,7 @@ def _march_kernel(C, K, midpoint, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1,
     cdf = jnp.concatenate(cum_rows, axis=0) / acc            # (C-2, T)
     last = cdf[-1:, :]
     # bins b_i = near + (i+0.5)*spacing for i in [0, C-2]; cdf entry c_0 = 0
-    z_rows, xyz_blocks = [], []
+    z_rows, xyz_blocks, rho_rows = [], [], []
     for k in range(K):
         # midpoint: strata-centered quantiles u=(k+.5)/K — no sample burnt
         # at CDF 0/1 (better quadrature at small K); edges: reference
@@ -215,7 +215,17 @@ def _march_kernel(C, K, midpoint, x_ref, s_o, s_d, p, w1x_o, w1x_d, w1s, b1,
         zk = bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
         z_rows.append(zk)
         xyz_blocks.append(o + d * zk)                          # (3, T)
+        if density:
+            # NORMALIZED pdf density of the landing bin per unit z (raw
+            # Δcdf, not the denom<eps→1 replacement): the ratio-quadrature
+            # epilogue (render/fast.py) scales it by the unnormalized mass
+            rho_rows.append((cdf_above - cdf_below)
+                            / jnp.maximum(bins_above - bins_below, 1e-7))
 
+    if density:
+        # aux rows 0..K-1 = per-sample bin density, row K = the placement
+        # CDF's unnormalized interior mass W (incl. its 1e-5 floors)
+        maybe_aux[0][...] = jnp.concatenate(rho_rows + [acc], axis=0)
     z_ref[...] = jnp.concatenate(z_rows, axis=0)               # (K, T)
     zero5 = jnp.zeros((IN_ROWS - 3, tile), jnp.float32)
     d8 = jnp.concatenate([d, zero5], axis=0)
@@ -254,14 +264,16 @@ def proxy_opacity(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_candidates", "n_keep", "midpoint"))
+                   static_argnames=("n_candidates", "n_keep", "midpoint",
+                                    "return_density"))
 def proxy_march_select(
     packed_proxy: Dict[str, jnp.ndarray],
     raysT: jnp.ndarray,
     n_candidates: int,
     n_keep: int,
     midpoint: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_density: bool = False,
+):
     """March C uniform candidates per ray, select K depths by proxy-guided
     deterministic inverse-CDF, and return the survivors transposed.
 
@@ -273,31 +285,43 @@ def proxy_march_select(
     (8, K*R) f32 survivor coordinates/directions in CANDIDATE-MAJOR order
     (point p = k*R + r), ready for fused_full_t. K*TILE_R must be a
     multiple of the field kernel's TILE_N for a pad-free handoff.
+
+    With return_density=True, a fourth array aux (K+1, R) is appended:
+    rows 0..K-1 the NORMALIZED placement-CDF density of the bin each
+    sample landed in (Δcdf/Δz, matching ops/sample_pdf.py's
+    return_density), row K the CDF's unnormalized interior mass W — the
+    two ingredients of the ratio quadrature (render/fast.py).
     """
     C, K = n_candidates, n_keep
     assert C >= 4 and K >= 2
     r = raysT.shape[1]
     assert r % TILE_R == 0, f"pad rays to a multiple of {TILE_R} (got {r})"
     grid = (r // TILE_R,)
-    kernel = functools.partial(_march_kernel, C, K, midpoint)
+    kernel = functools.partial(_march_kernel, C, K, midpoint, return_density)
     weight_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _WEIGHT_NAMES]
-    z_sel, xyzT, dirT = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((K, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((IN_ROWS, K * TILE_R), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((IN_ROWS, K * TILE_R), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((K, r), jnp.float32),
+        jax.ShapeDtypeStruct((IN_ROWS, K * r), jnp.float32),
+        jax.ShapeDtypeStruct((IN_ROWS, K * r), jnp.float32),
+    ]
+    if return_density:
+        out_specs.append(pl.BlockSpec((K + 1, TILE_R), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((K + 1, r), jnp.float32))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((IN_ROWS, TILE_R), lambda i: (0, i),
                                memory_space=pltpu.VMEM)] + weight_specs,
-        out_specs=[
-            pl.BlockSpec((K, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((IN_ROWS, K * TILE_R), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((IN_ROWS, K * TILE_R), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((K, r), jnp.float32),
-            jax.ShapeDtypeStruct((IN_ROWS, K * r), jnp.float32),
-            jax.ShapeDtypeStruct((IN_ROWS, K * r), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(raysT, *[packed_proxy[k] for k in _WEIGHT_NAMES])
-    return z_sel, xyzT, dirT
+    return tuple(out)

@@ -33,6 +33,7 @@ def sample_pdf(
     det: bool = False,
     eps: float = 1e-5,
     midpoint: bool = False,
+    return_density: bool = False,
 ) -> jax.Array:
     """Draw `n_importance` samples per row from the piecewise-constant pdf.
 
@@ -43,11 +44,18 @@ def sample_pdf(
       rng: PRNG key; required unless `det=True`.
       det: deterministic (evenly spaced u) instead of uniform random u.
       eps: numerical floor.
+      return_density: also return the NORMALIZED pdf density of the bin
+        each sample landed in, density = Δcdf/Δz at the sample — the
+        piecewise-linear CDF's implied probability density per unit z.
+        Used by the fast renderer's ratio quadrature (render/fast.py),
+        which needs the proxy density the placement CDF actually implied
+        at each sample. Not part of the reference parity surface.
 
     Returns:
       samples: (N_rays, n_importance), differentiable w.r.t. `bins`
       and `weights` through the linear interpolation (callers typically
-      stop_gradient the result).
+      stop_gradient the result). With return_density=True, the tuple
+      (samples, density) with density (N_rays, n_importance).
     """
     n_rays, n_weights = weights.shape
     # Gather indices never exceed n_weights, so surplus trailing bins are
@@ -100,4 +108,9 @@ def sample_pdf(
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < eps, jnp.ones_like(denom), denom)
 
-    return bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
+    samples = bins_below + (u - cdf_below) / denom * (bins_above - bins_below)
+    if not return_density:
+        return samples
+    dz = jnp.maximum(bins_above - bins_below, eps)
+    density = (cdf_above - cdf_below) / dz
+    return samples, density

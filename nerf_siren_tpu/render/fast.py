@@ -178,6 +178,7 @@ def render_rays_fast(
     adaptive: Optional[Tuple[float, int]] = None,
     cull: Optional[float] = None,
     placement: str = "mid",
+    quadrature: str = "delta",
 ) -> Dict[str, jax.Array]:
     """Proxy-culled single-pass render. rays (R, 8) → dict rgb/depth/opacity.
 
@@ -247,7 +248,21 @@ def render_rays_fast(
       'edges' reproduces the reference sample_pdf's deterministic
       endpoint placement u=k/(K-1) (the parity op ops/sample_pdf.py
       keeps 'edges' as ITS default — this fast mode is not a parity
-      surface)."""
+      surface).
+
+    quadrature: how each kept sample's alpha integrates the density.
+      'delta' — NeRF's consecutive-difference deltas over the kept depths
+        (round-1/2 behavior).
+      'ratio' — proxy-shaped stratum quadrature (requires select='pdf',
+        placement='mid'): the K mid-placed samples are equal-mass strata
+        of the proxy's weight CDF, so each stratum's PROXY optical depth
+        has the closed form tau_k = ln((1-c_k)/(1-c_{k+1})), c_k = kW/K
+        with W the proxy's interior mass; scale it by the field/implied-
+        proxy density ratio at the sample. Exact at ANY K when the field
+        equals the placement CDF's implied density (the consecutive-delta
+        rule is not), so the K-limited residual becomes the ratio's
+        within-stratum variation only. Prototype: halves worst-case
+        compositing error on two-surface rays at C=32/K=16."""
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -309,6 +324,9 @@ def render_rays_fast(
         return a_hat * tr
 
     if select == "pdf" and packed_proxy is not None and packed_params is not None:
+        if quadrature == "ratio":
+            assert placement == "mid", \
+                "quadrature='ratio' needs equal-mass strata (placement='mid')"
         from nerf_siren_tpu.ops.pallas import proxy_march
         from nerf_siren_tpu.ops.pallas.fused_mlp import (
             TILE_N, SIGMA_ROW, fused_full_t)
@@ -322,9 +340,11 @@ def render_rays_fast(
             depths zs (k, Rp) — the caller uses zs spread for adaptive-K
             ambiguity ranking."""
             rp = raysT.shape[1]
-            zs, xyzT, dirT = proxy_march.proxy_march_select(
+            ratio_quad = quadrature == "ratio"
+            sel = proxy_march.proxy_march_select(
                 packed_proxy, raysT, n_candidates, k,
-                midpoint=placement == "mid")
+                midpoint=placement == "mid", return_density=ratio_quad)
+            zs, xyzT, dirT = sel[:3]
             out8 = fused_full_t(packed_params[model], xyzT, dirT,
                                 depth=nerf_cfg.depth, skips=nerf_cfg.skips)
             # kernel point order: ray-tile major, then candidate, then ray
@@ -335,10 +355,26 @@ def render_rays_fast(
             near_t, far_t = raysT[6:7], raysT[7:8]
             dirn_t = jnp.sqrt(jnp.sum(raysT[3:6] ** 2, axis=0, keepdims=True))
             spacing_t = (far_t - near_t) / (n_candidates - 1)
-            deltas = jnp.concatenate(
-                [zs[1:] - zs[:-1], jnp.broadcast_to(spacing_t, (1, rp))],
-                axis=0) * dirn_t
-            alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sig_kr))
+            if ratio_quad:
+                # proxy-shaped stratum quadrature (lane-major mirror of the
+                # jnp epilogue below; see `quadrature` in the docstring)
+                aux = sel[3]
+                rho, w_tot = aux[:k], jnp.minimum(aux[k:k + 1], 0.9999)
+                kk = jnp.arange(k, dtype=jnp.float32)[:, None]
+                c0 = kk / k * w_tot                          # (k, Rp)
+                c1 = (kk + 1.0) / k * w_tot
+                tau_p = jnp.log(jnp.maximum(1.0 - c0, 1e-7)
+                                / jnp.maximum(1.0 - c1, 1e-7))
+                sig_impl = rho * w_tot / jnp.maximum(
+                    1.0 - (kk + 0.5) / k * w_tot, 1e-7)
+                ratio = (jax.nn.relu(sig_kr) * dirn_t
+                         / jnp.maximum(sig_impl, 1e-7))
+                alphas = 1.0 - jnp.exp(-jnp.clip(ratio, 0.0, 1e3) * tau_p)
+            else:
+                deltas = jnp.concatenate(
+                    [zs[1:] - zs[:-1], jnp.broadcast_to(spacing_t, (1, rp))],
+                    axis=0) * dirn_t
+                alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sig_kr))
             trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=0)
             trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]], 0)
             weights = alphas * trans                             # (k, Rp)
@@ -401,14 +437,28 @@ def render_rays_fast(
     z = near * (1 - t) + far * t                                  # (R, S)
     spacing = (far - near) / (n_candidates - 1)                   # (R, 1)
 
+    quad_rho = quad_w = None
     if select == "pdf":
         from nerf_siren_tpu.ops.sample_pdf import sample_pdf
 
         w_hat = proxy_weights(z, spacing)
         z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
-        z_sel = sample_pdf(z_mid, w_hat[:, 1:-1], n_keep, rng=None, det=True,
-                           midpoint=placement == "mid")
-        z_sel = jnp.sort(z_sel, axis=-1)
+        if quadrature == "ratio":
+            assert placement == "mid", \
+                "quadrature='ratio' needs equal-mass strata (placement='mid')"
+            # inverse CDF at ascending strata-centered u is already sorted;
+            # sorting would misalign the per-sample densities
+            z_sel, quad_rho = sample_pdf(
+                z_mid, w_hat[:, 1:-1], n_keep, rng=None, det=True,
+                midpoint=True, return_density=True)
+            # W in the c->T map must match the placement CDF's total mass
+            # (incl. its eps floor); clamp away the tau blow-up at W->1
+            quad_w = jnp.minimum(
+                jnp.sum(w_hat[:, 1:-1] + 1e-5, -1, keepdims=True), 0.9999)
+        else:
+            z_sel = sample_pdf(z_mid, w_hat[:, 1:-1], n_keep, rng=None,
+                               det=True, midpoint=placement == "mid")
+            z_sel = jnp.sort(z_sel, axis=-1)
     elif refine_mult > 1:
         # hierarchical refinement: split each survivor interval into
         # refine_mult sub-candidates and re-rank by expected weight.
@@ -458,15 +508,34 @@ def render_rays_fast(
         sigmas_raw = raw[..., 3]
         rgb_raw = raw[..., :3]
 
-    # composite with NeRF's nonuniform quadrature: consecutive-difference
-    # deltas over the kept (sorted) depths, final delta = one candidate
-    # interval. Constant tiny deltas systematically under-integrate density
-    # at surfaces (measured -11 dB at convergence).
-    deltas = jnp.concatenate(
-        [z_sel[:, 1:] - z_sel[:, :-1],
-         jnp.broadcast_to(spacing, (z_sel.shape[0], 1))], axis=-1) * dir_norm
     sigmas = jax.nn.relu(sigmas_raw)
-    alphas = 1.0 - jnp.exp(-deltas * sigmas)
+    if quad_rho is not None:
+        # proxy-shaped stratum quadrature (see `quadrature` in the
+        # docstring): stratum proxy optical depth in closed form, scaled
+        # by the field / implied-proxy density ratio at the sample
+        kk = jnp.arange(n_keep, dtype=jnp.float32)
+        c0 = kk / n_keep * quad_w                              # (R, K)
+        c1 = (kk + 1.0) / n_keep * quad_w
+        tau_p = jnp.log(jnp.maximum(1.0 - c0, 1e-7)
+                        / jnp.maximum(1.0 - c1, 1e-7))
+        u_mid = (kk + 0.5) / n_keep
+        # implied optical depth per unit z at the sample: W*rho/(1-uW);
+        # the proxy CDF was marched in world distance (dz * |d|), so the
+        # field side carries the same dir_norm factor
+        sig_impl = quad_rho * quad_w / jnp.maximum(1.0 - u_mid * quad_w, 1e-7)
+        ratio = sigmas * dir_norm / jnp.maximum(sig_impl, 1e-7)
+        alphas = 1.0 - jnp.exp(-jnp.clip(ratio, 0.0, 1e3) * tau_p)
+    else:
+        # composite with NeRF's nonuniform quadrature: consecutive-
+        # difference deltas over the kept (sorted) depths, final delta =
+        # one candidate interval. Constant tiny deltas systematically
+        # under-integrate density at surfaces (measured -11 dB at
+        # convergence).
+        deltas = jnp.concatenate(
+            [z_sel[:, 1:] - z_sel[:, :-1],
+             jnp.broadcast_to(spacing, (z_sel.shape[0], 1))],
+            axis=-1) * dir_norm
+        alphas = 1.0 - jnp.exp(-deltas * sigmas)
     trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
     trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
     weights = alphas * trans
@@ -524,6 +593,7 @@ def make_auto_cull_renderer(
     block: int = 128,
     prepass_candidates: Optional[int] = None,
     placement: str = "mid",
+    quadrature: str = "delta",
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Frame-global empty-ray culling at ray-BLOCK granularity.
 
@@ -597,7 +667,7 @@ def make_auto_cull_renderer(
                   nerf_cfg=nerf_cfg, white_back=white_back, placement=placement,
                   compute_dtype=compute_dtype, scene_aabb=scene_aabb,
                   select="pdf", packed_params=packed_params,
-                  packed_proxy=packed_proxy, model=model)
+                  packed_proxy=packed_proxy, model=model, quadrature=quadrature)
 
     @functools.lru_cache(maxsize=None)
     def frame_program(n_act_b: int, chunk_b: int, rp: int, r: int):

@@ -83,6 +83,7 @@ def make_fast_eg3d_renderer(
     prepass_candidates: Optional[int] = None,
     placement: str = "mid",
     proxy: Optional[Dict[str, Any]] = None,
+    quadrature: str = "delta",
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Build a proxy-culled renderer for ONE synthesized scene.
 
@@ -108,7 +109,15 @@ def make_fast_eg3d_renderer(
 
     placement="mid" selects strata-centered quantiles u=(k+.5)/K instead
     of endpoint linspace (see proxy_march_select).
+
+    quadrature="ratio" replaces consecutive-delta compositing with the
+    proxy-shaped stratum quadrature (render/fast.py docstring) — exact at
+    any K when the marcher density matches the placement CDF's implied
+    density; requires placement="mid".
     """
+    if quadrature == "ratio":
+        assert placement == "mid", \
+            "quadrature='ratio' needs equal-mass strata (placement='mid')"
     p = params["eg3d_renderer"] if "eg3d_renderer" in params else params
     opts = cfg.rendering
     if rng is None:
@@ -167,9 +176,11 @@ def make_fast_eg3d_renderer(
         """(N, 8) prepped rays (N a tile multiple) → (rgb, depth, opacity)."""
         n = rays8.shape[0]
         nt = n // tile
-        z_sel, xyzT, _ = proxy_march.proxy_march_select(
+        sel = proxy_march.proxy_march_select(
             packed_proxy, rays8.T, C, K,
-            midpoint=placement == "mid")                          # (K, N)
+            midpoint=placement == "mid",
+            return_density=quadrature == "ratio")                 # (K, N)
+        z_sel, xyzT = sel[0], sel[1]
 
         # survivor point order is tile-major: (nt, K, tile)
         coords = xyzT[:3].T                                       # (K*N, 3)
@@ -183,9 +194,31 @@ def make_fast_eg3d_renderer(
 
         near_t, far_t = rays8[:, 6], rays8[:, 7]                  # (N,)
         spacing = ((far_t - near_t) / (C - 1))[None, :]           # (1, N)
-        deltas = jnp.concatenate([z_sel[1:] - z_sel[:-1], spacing], axis=0)
         dens = jax.nn.softplus(sig_kr - 1.0)                      # marcher act
-        alphas = 1.0 - jnp.exp(-dens * deltas)
+        if quadrature == "ratio":
+            # proxy-shaped stratum quadrature (render/fast.py docstring):
+            # the proxy march and this marcher both integrate in raw z
+            # units, so no direction-norm factor enters the ratio. NOTE
+            # the kernel's internal march includes |d|; it cancels between
+            # W·rho and (1-c) only per unit z — rho is per-z by
+            # construction, so sig_impl is optical depth per unit z in
+            # the kernel's (|d|-scaled) units and dens must match: EG3D
+            # datasets feed unit directions, where the two coincide.
+            aux = sel[3]
+            rho, w_tot = aux[:K], jnp.minimum(aux[K:K + 1], 0.9999)
+            kk = jnp.arange(K, dtype=jnp.float32)[:, None]
+            c0 = kk / K * w_tot
+            c1 = (kk + 1.0) / K * w_tot
+            tau_p = jnp.log(jnp.maximum(1.0 - c0, 1e-7)
+                            / jnp.maximum(1.0 - c1, 1e-7))
+            sig_impl = rho * w_tot / jnp.maximum(
+                1.0 - (kk + 0.5) / K * w_tot, 1e-7)
+            ratio = dens / jnp.maximum(sig_impl, 1e-7)
+            alphas = 1.0 - jnp.exp(-jnp.clip(ratio, 0.0, 1e3) * tau_p)
+        else:
+            deltas = jnp.concatenate([z_sel[1:] - z_sel[:-1], spacing],
+                                     axis=0)
+            alphas = 1.0 - jnp.exp(-dens * deltas)
         trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=0)
         trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]], 0)
         weights = alphas * trans                                  # (K, N)

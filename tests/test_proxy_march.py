@@ -320,3 +320,65 @@ def test_auto_cull_no_empty_rays_keeps_cull_nothing(proxy):
     np.testing.assert_allclose(np.asarray(second["rgb_fine"]),
                                np.asarray(first["rgb_fine"]),
                                rtol=0, atol=1e-6)
+
+
+def test_march_density_aux_matches_jnp(proxy):
+    """proxy_march_select(return_density=True): aux rows 0..K-1 must match
+    sample_pdf's normalized bin density and row K the placement CDF's
+    unnormalized interior mass, computed from the same proxy march."""
+    rays = _rays(TILE_R, seed=8)
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    t = jnp.linspace(0.0, 1.0, C)
+    z = near * (1 - t) + far * t
+    spacing = (far - near) / (C - 1)
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    score = apply_proxy(proxy, xyz, jnp.bfloat16)
+    sigma_hat = jnp.expm1(jax.nn.relu(score.astype(jnp.float32)))
+    a_hat = 1.0 - jnp.exp(-sigma_hat * spacing * dir_norm)
+    tr = jnp.cumprod(1.0 - a_hat + 1e-10, axis=-1)
+    tr = jnp.concatenate([jnp.ones_like(tr[:, :1]), tr[:, :-1]], axis=-1)
+    w_hat = a_hat * tr
+    z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+    _, rho_ref = sample_pdf(z_mid, w_hat[:, 1:-1], K, rng=None, det=True,
+                            midpoint=True, return_density=True)
+    w_ref = np.asarray(jnp.sum(w_hat[:, 1:-1] + 1e-5, axis=-1))
+
+    packed = pack_proxy_params(proxy)
+    out = proxy_march_select(packed, rays.T, C, K, midpoint=True,
+                             return_density=True)
+    assert len(out) == 4
+    aux = np.asarray(out[3])
+    rho_k = aux[:K].T                                  # (R, K)
+    w_k = aux[K]                                       # (R,)
+    # mass: bf16 matmul noise only
+    rel_w = np.abs(w_k - w_ref) / np.maximum(w_ref, 1e-4)
+    assert np.median(rel_w) < 0.05
+    # density is piecewise-constant per bin — CDF noise near a bin edge
+    # relocates a sample into the neighboring bin, so compare in bulk
+    rho_ref = np.asarray(rho_ref)
+    rel = np.abs(rho_k - rho_ref) / np.maximum(np.abs(rho_ref), 1e-3)
+    assert np.median(rel) < 0.05
+    assert np.mean(rel < 0.25) > 0.8
+
+
+def test_fused_ratio_quadrature_matches_jnp_ratio(proxy):
+    """quadrature='ratio' through the fused march kernel must agree with the
+    jnp pdf path's ratio epilogue (same estimator, bf16 selection noise)."""
+    cfg = NeRFConfig()
+    params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+    packed_params = pack_model_params(params, cfg)
+    packed_proxy = pack_proxy_params(proxy)
+    rays = _rays(TILE_R, seed=9)
+    kw = dict(n_candidates=C, n_keep=K, nerf_cfg=cfg, white_back=True,
+              select="pdf", placement="mid", quadrature="ratio")
+    ref = render_rays_fast(params, proxy, rays, **kw)
+    got = render_rays_fast(params, proxy, rays, packed_params=packed_params,
+                           packed_proxy=packed_proxy, **kw)
+    for key in ("rgb_fine", "opacity_fine"):
+        a, b = np.asarray(got[key]), np.asarray(ref[key])
+        assert np.isfinite(a).all()
+        assert np.median(np.abs(a - b)) < 5e-3, key
+        assert np.mean(np.abs(a - b) < 0.05) > 0.95, key
+    assert float(np.max(np.asarray(got["opacity_fine"]))) <= 1.0 + 1e-5

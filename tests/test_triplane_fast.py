@@ -116,3 +116,26 @@ def test_fast_eg3d_auto_cull_matches_plain(scene):
     # miss rays are always culled to exact background on the budgeted frame
     np.testing.assert_allclose(np.asarray(out2["opacity_fine"][-8:]), 0.0,
                                atol=1e-5)
+
+
+def test_fast_eg3d_ratio_quadrature_contract(scene):
+    """quadrature='ratio' (proxy-shaped stratum compositing): same output
+    contract, finite values, box-missing rays at zero, and broad agreement
+    with the delta-quadrature render on the smooth random-init scene (both
+    approximate the same integral; quality deltas are measured on-chip)."""
+    params, render_fast = scene
+    ratio_fast = make_fast_eg3d_renderer(
+        params, CFG, n_candidates=24, n_keep=8, distill_steps=40,
+        distill_batch=2048, rng=jax.random.PRNGKey(4),
+        proxy=render_fast.proxy, quadrature="ratio")
+    rays = _camera_rays(16, n_miss=8)
+    out = ratio_fast(jnp.asarray(rays))
+    base = render_fast(jnp.asarray(rays))
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+    np.testing.assert_allclose(np.asarray(out["opacity_fine"][-8:]), 0.0,
+                               atol=1e-5)
+    a = np.asarray(out["rgb_fine"], np.float32)
+    b = np.asarray(base["rgb_fine"], np.float32)
+    mse = float(np.mean((a - b) ** 2))
+    assert -10.0 * np.log10(max(mse, 1e-12)) > 20.0

@@ -37,8 +37,10 @@ def main():
     ap.add_argument("--ckpt", type=str, default=None,
                     help="cache trained params here (reuse across runs)")
     ap.add_argument("--configs", type=str,
-                    default="32x8,32x12,32x16,48x16,32x24,32x8m,32x16m,32x24m",
-                    help="comma-separated CxK operating points")
+                    default="32x8,32x12,32x16,48x16,32x24,32x8m,32x16m,32x24m,32x8r,32x12r,32x16r,32x24r",
+                    help="comma-separated CxK operating points; suffix "
+                         "'m' = mid placement, 'r' = mid placement + "
+                         "ratio quadrature")
     ap.add_argument("--out", type=str, default="docs/eg3d_fast_frontier.json")
     args = ap.parse_args()
 
@@ -125,17 +127,20 @@ def main():
     rays_j = jnp.asarray(rays)
     for spec in args.configs.split(","):
         spec = spec.strip()
-        placement = "mid" if spec.endswith("m") else "edges"
+        quad = "ratio" if spec.endswith("r") else "delta"
+        spec = spec.rstrip("r")
+        placement = "mid" if spec.endswith("m") or quad == "ratio" else "edges"
         C, K = (int(v) for v in spec.rstrip("m").split("x"))
         fast = make_fast_eg3d_renderer(
             params["eg3d_renderer"], cfg, n_candidates=C, n_keep=K,
             distill_steps=args.distill_steps, rng=jax.random.PRNGKey(7),
-            placement=placement, proxy=proxy)
+            placement=placement, proxy=proxy, quadrature=quad)
         proxy = fast.proxy
         fo, fast_s = time_render(lambda: fast(rays_j))
         frgb = np.asarray(fo["rgb_fine"], np.float32)
         rows.append({"config": f"C={C} K={K}"
-                               + (" mid" if placement == "mid" else ""),
+                               + (" mid" if placement == "mid" else "")
+                               + (" ratio" if quad == "ratio" else ""),
                      "rays_per_sec": n / fast_s,
                      "agreement_db": psnr_vs(frgb, exact_rgb),
                      "psnr_vs_gt": psnr_vs(frgb, gt)})

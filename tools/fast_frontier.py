@@ -127,6 +127,11 @@ def main():
     ap.add_argument("--auto_only", action="store_true",
                     help="measure only the frame-global auto-cull rows "
                          "(implies --fused_only with an empty fused sweep)")
+    ap.add_argument("--ratio_only", action="store_true",
+                    help="measure only delta-vs-ratio quadrature pairs "
+                         "(plain fused K sweep + auto-cull rows), merging "
+                         "into an existing output JSON; use with "
+                         "--reuse_scene after a full sweep")
     args = ap.parse_args()
     if args.out is None:
         args.out = ("docs/fast_frontier.json" if args.scene == "spheres"
@@ -334,7 +339,7 @@ def main():
                             (64, 12), (64, 16), (64, 32), (96, 12), (96, 16),
                             (128, 16), (128, 32))]
     sweep += [("pdf", 32, 16), ("pdf", 64, 16)]  # record: pdf loses to topk
-    if args.fused_only or args.auto_only:
+    if args.fused_only or args.auto_only or args.ratio_only:
         sweep = []
     for sel, c, k in sweep:
         @jax.jit
@@ -369,42 +374,60 @@ def main():
     from nerf_siren_tpu.ops.pallas.proxy_march import pack_proxy_params
     packed_proxy = pack_proxy_params(proxy)
     fused_sweep = [
-        # (C, K, adaptive, cull, placement)
-        (32, 8, None, None, "edges"), (32, 16, None, None, "edges"),
-        (32, 8, (0.0625, 32), None, "edges"),   # avg 10
-        (32, 8, (0.125, 32), None, "edges"),    # avg 12
-        (32, 8, (0.125, 48), None, "edges"),    # avg 14
-        (32, 8, (0.25, 32), None, "edges"),     # avg 16
-        (32, 8, (0.25, 48), None, "edges"),     # avg 20
-        (32, 16, (0.125, 48), None, "edges"),   # avg 22
-        (32, 16, (0.25, 64), None, "edges"),    # avg 32
+        # (C, K, adaptive, cull, placement, quadrature)
+        (32, 8, None, None, "edges", "delta"),
+        (32, 16, None, None, "edges", "delta"),
+        (32, 8, (0.0625, 32), None, "edges", "delta"),   # avg 10
+        (32, 8, (0.125, 32), None, "edges", "delta"),    # avg 12
+        (32, 8, (0.125, 48), None, "edges", "delta"),    # avg 14
+        (32, 8, (0.25, 32), None, "edges", "delta"),     # avg 16
+        (32, 8, (0.25, 48), None, "edges", "delta"),     # avg 20
+        (32, 16, (0.125, 48), None, "edges", "delta"),   # avg 22
+        (32, 16, (0.25, 64), None, "edges", "delta"),    # avg 32
         # empty-ray culling: K only on the `cull` most proxy-opaque rays
-        (32, 16, None, 0.35, "edges"),          # avg 5.6
-        (32, 16, None, 0.45, "edges"),          # avg 7.2
-        (32, 16, None, 0.55, "edges"),          # avg 8.8
-        (32, 16, None, 0.65, "edges"),          # avg 10.4
-        (32, 24, None, 0.45, "edges"),          # avg 10.8
-        (32, 32, None, 0.45, "edges"),          # avg 14.4
+        (32, 16, None, 0.35, "edges", "delta"),          # avg 5.6
+        (32, 16, None, 0.45, "edges", "delta"),          # avg 7.2
+        (32, 16, None, 0.55, "edges", "delta"),          # avg 8.8
+        (32, 16, None, 0.65, "edges", "delta"),          # avg 10.4
+        (32, 24, None, 0.45, "edges", "delta"),          # avg 10.8
+        (32, 32, None, 0.45, "edges", "delta"),          # avg 14.4
         # strata-centered quantiles: same cost, better small-K quadrature
-        (32, 8, None, None, "mid"),
-        (32, 16, None, None, "mid"),
-        (32, 24, None, None, "mid"),
-        (32, 32, None, None, "mid"),
+        (32, 8, None, None, "mid", "delta"),
+        (32, 16, None, None, "mid", "delta"),
+        (32, 24, None, None, "mid", "delta"),
+        (32, 32, None, None, "mid", "delta"),
+        # proxy-shaped stratum (ratio) quadrature: same cost as mid-delta
+        (32, 8, None, None, "mid", "ratio"),
+        (32, 12, None, None, "mid", "ratio"),
+        (32, 16, None, None, "mid", "ratio"),
+        (32, 24, None, None, "mid", "ratio"),
     ]
+    if args.ratio_only:
+        fused_sweep = [
+            (32, 8, None, None, "mid", "delta"),
+            (32, 12, None, None, "mid", "delta"),
+            (32, 16, None, None, "mid", "delta"),
+            (32, 24, None, None, "mid", "delta"),
+            (32, 8, None, None, "mid", "ratio"),
+            (32, 12, None, None, "mid", "ratio"),
+            (32, 16, None, None, "mid", "ratio"),
+            (32, 24, None, None, "mid", "ratio"),
+        ]
     if args.auto_only:
         fused_sweep = []
     results["fused_adaptive_configs"] = []
-    for c, k, adapt, cull, placement in fused_sweep:
+    for c, k, adapt, cull, placement, quad in fused_sweep:
         @jax.jit
         def fused_frame(tiles, c=c, k=k, adapt=adapt, cull=cull,
-                        placement=placement):
+                        placement=placement, quad=quad):
             def f(t):
                 return render_rays_fast(
                     params, proxy, t, n_candidates=c, n_keep=k,
                     nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
                     select="pdf", packed_params=packed,
                     packed_proxy=packed_proxy, adaptive=adapt,
-                    cull=cull, placement=placement)["rgb_fine"]
+                    cull=cull, placement=placement,
+                    quadrature=quad)["rgb_fine"]
             rgb = jax.lax.map(f, tiles)
             return rgb, jnp.sum(rgb)
 
@@ -417,7 +440,7 @@ def main():
         row = {"select": "pdf+fused-march", "n_candidates": c, "n_keep": k,
                "adaptive": list(adapt) if adapt else None,
                "cull": cull, "avg_k": avg_k, "placement": placement,
-               "rays_per_sec": rate,
+               "quadrature": quad, "rays_per_sec": rate,
                "agreement_db_vs_exact": float(np.mean(agree)),
                "agreement_min_db": float(np.min(agree)),
                "agreement_per_pose": agree,
@@ -427,6 +450,8 @@ def main():
         ad = (f"+{adapt[0]:.3f}x{adapt[1]}" if adapt
               else f" cull={cull}" if cull is not None
               else " mid" if placement == "mid" else "")
+        if quad == "ratio":
+            ad += " ratio"
         print(f"fused C={c:3d} K={k:3d}{ad:12s} (avg {avg_k:5.1f}): "
               f"{rate/1e6:6.2f} M rays/s  "
               f"agree mean {row['agreement_db_vs_exact']:6.2f} / "
@@ -444,25 +469,33 @@ def main():
     # sweep below calibrates: proxy opacity eps corresponds to a much
     # smaller TRUE opacity. prepass_c=16 halves the prepass; placement=mid
     # is the strata-centered quantile (better small-K quadrature).
-    for k, margin, prepass_c, placement, eps in (
-            (16, 1.1, None, "edges", 0.01),     # round-2 continuity row
-            (8, 1.3, None, "edges", 0.01),
-            (16, 1.2, 16, "mid", 0.05),
-            (16, 1.2, 16, "mid", 0.15),
-            (16, 1.2, 16, "mid", 0.30),
-            (24, 1.2, 16, "mid", 0.15),
-            (32, 1.2, 16, "mid", 0.15),
-            # per-frame self-calibrated threshold (the shipped default —
-            # no scene-specific hand tuning)
-            (16, 1.2, 16, "mid", "auto"),
-            (24, 1.2, 16, "mid", "auto"),
-            (32, 1.2, 16, "mid", "auto")):
+    auto_sweep = [
+        (16, 1.1, None, "edges", 0.01, "delta"),  # round-2 continuity row
+        (8, 1.3, None, "edges", 0.01, "delta"),
+        (16, 1.2, 16, "mid", 0.05, "delta"),
+        (16, 1.2, 16, "mid", 0.15, "delta"),
+        (16, 1.2, 16, "mid", 0.30, "delta"),
+        (24, 1.2, 16, "mid", 0.15, "delta"),
+        (32, 1.2, 16, "mid", 0.15, "delta"),
+        # per-frame self-calibrated threshold (the shipped default —
+        # no scene-specific hand tuning)
+        (16, 1.2, 16, "mid", "auto", "delta"),
+        (24, 1.2, 16, "mid", "auto", "delta"),
+        (32, 1.2, 16, "mid", "auto", "delta"),
+        # proxy-shaped stratum quadrature under the safe auto-cull driver
+        (12, 1.2, 16, "mid", "auto", "ratio"),
+        (16, 1.2, 16, "mid", "auto", "ratio"),
+        (24, 1.2, 16, "mid", "auto", "ratio"),
+    ]
+    if args.ratio_only:
+        auto_sweep = [r for r in auto_sweep if r[5] == "ratio"]
+    for k, margin, prepass_c, placement, eps, quad in auto_sweep:
         auto_render = make_auto_cull_renderer(
             params, proxy, n_candidates=32, n_keep=k, nerf_cfg=nerf_cfg,
             white_back=True, scene_aabb=aabb, packed_params=packed,
             packed_proxy=packed_proxy, margin=margin,
             prepass_candidates=prepass_c, placement=placement,
-            opacity_eps=eps)
+            opacity_eps=eps, quadrature=quad)
 
         def auto_frame(rays_dev):
             out = auto_render(rays_dev)["rgb_fine"]
@@ -487,7 +520,7 @@ def main():
         row = {"select": "pdf+fused-march+auto-cull", "n_candidates": 32,
                "n_keep": k, "margin": margin, "prepass_candidates": prepass_c,
                "placement": placement, "opacity_eps": eps,
-               "eps_per_pose": eps_used,
+               "quadrature": quad, "eps_per_pose": eps_used,
                "active_frac_per_pose": act,
                "rays_per_sec": rate,
                "agreement_db_vs_exact": float(np.mean(agree)),
@@ -498,6 +531,7 @@ def main():
         results["auto_cull_configs"].append(row)
         print(f"auto  C= 32 K={k:3d} margin={margin:.2f} "
               f"pp={prepass_c or 32:2d} {placement[:4]} eps={eps} "
+              f"{'ratio ' if quad == 'ratio' else ''}"
               f"act={np.mean(act):.2f}: "
               f"{rate/1e6:6.2f} M rays/s  "
               f"agree mean {row['agreement_db_vs_exact']:6.2f} / "
@@ -505,7 +539,23 @@ def main():
               f"gt {row['psnr_vs_gt']:6.2f} dB", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    if (args.fused_only or args.auto_only) and os.path.exists(args.out):
+    if args.ratio_only and os.path.exists(args.out):
+        # append/refresh the measured rows inside the existing sweeps
+        with open(args.out) as f:
+            merged = json.load(f)
+
+        def _key(row):
+            return tuple(str(row.get(f)) for f in (
+                "select", "n_candidates", "n_keep", "adaptive", "cull",
+                "placement", "quadrature", "margin", "opacity_eps"))
+
+        for field in ("fused_adaptive_configs", "auto_cull_configs"):
+            fresh = {_key(r): r for r in results.get(field, [])}
+            kept = [r for r in merged.get(field, [])
+                    if _key(r) not in fresh]
+            merged[field] = kept + list(fresh.values())
+        results = merged
+    elif (args.fused_only or args.auto_only) and os.path.exists(args.out):
         with open(args.out) as f:
             merged = json.load(f)
         # keep every existing sweep this run skipped
