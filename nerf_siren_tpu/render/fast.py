@@ -704,9 +704,24 @@ def make_auto_cull_renderer(
                 rid = bid[:, None] * block + jnp.arange(block)[None]
                 valid = (rid < r).reshape(-1)
                 act_pre = opac.reshape(nblocks, block)[order[:n_act_b]]
-                empty = (out[f"opacity_{model}"] < 0.01) & valid
-                eps_cal = jnp.nanquantile(
-                    jnp.where(empty, act_pre.reshape(-1), jnp.nan), 0.995)
+                pre_flat = act_pre.reshape(-1)
+                field_op = out[f"opacity_{model}"]
+                # TWO-SIDED calibration (round-3 fix): the empty-ray
+                # quantile alone bounds only the false-POSITIVE rate —
+                # occupied rays the proxy under-scores still fall below it
+                # and get culled (measured on the spheres scene: eps=auto
+                # culled 28% and the worst pose collapsed 30.9 -> 24.3 dB).
+                # Also take a low quantile of the prepass score among rays
+                # that rendered VISIBLY (field opacity > 0.05) and use the
+                # smaller of the two: never above a level that would have
+                # dropped >0.5% of this frame's visible rays.
+                empty = (field_op < 0.01) & valid
+                occ = (field_op > 0.05) & valid
+                eps_emp = jnp.nanquantile(
+                    jnp.where(empty, pre_flat, jnp.nan), 0.995)
+                eps_occ = jnp.nanquantile(
+                    jnp.where(occ, pre_flat, jnp.nan), 0.005)
+                eps_cal = jnp.nanmin(jnp.stack([eps_emp, eps_occ]))
                 # clip BEFORE the fallback select: clipping after would
                 # collapse the keep-previous-eps value (e.g. the frame-1
                 # cull-nothing 2.0) to 0.95 on any frame with no empty rays

@@ -268,9 +268,17 @@ def make_fast_eg3d_renderer(
                 rid = bid[:, None] * block + jnp.arange(block)[None]
                 valid = (rid < r).reshape(-1)
                 act_pre = opac.reshape(nblocks, block)[bid].reshape(-1)
+                # TWO-SIDED calibration (see render/fast.py): the empty-ray
+                # quantile bounds false positives; the visible-ray low
+                # quantile bounds false negatives (occupied rays the proxy
+                # under-scores). eps = min of the two.
                 empty = (opac_a < 0.01) & valid
-                eps_cal = jnp.nanquantile(
+                occ = (opac_a > 0.05) & valid
+                eps_emp = jnp.nanquantile(
                     jnp.where(empty, act_pre, jnp.nan), 0.995)
+                eps_occ = jnp.nanquantile(
+                    jnp.where(occ, act_pre, jnp.nan), 0.005)
+                eps_cal = jnp.nanmin(jnp.stack([eps_emp, eps_occ]))
                 # clip BEFORE the fallback select — clipping after would
                 # collapse the keep-previous-eps value (frame-1's
                 # cull-nothing 2.0) to 0.95 when no empty rays rendered

@@ -293,11 +293,11 @@ def test_auto_cull_eps_self_calibration(proxy):
 
 
 def test_auto_cull_no_empty_rays_keeps_cull_nothing(proxy):
-    """Regression (round-3 review): on a frame with NO rendered-empty rays,
-    (a) the keep-previous-eps fallback must survive the clamp — the clip
-    used to run AFTER the select and collapsed the frame-1 sentinel 2.0 to
-    0.95 — and (b) the sentinel must budget every block for the next frame,
-    not `sum(score > 2.0) = 0` blocks."""
+    """Regression (round-3 review + two-sided calibration): on a frame with
+    NO rendered-empty rays the calibrated eps must stay at or below the
+    visible rays' prepass scores (never the old clip-after-fallback 0.95,
+    which collapsed the next frame's budget to the minimum quantum), so the
+    next frame still renders essentially everything."""
     from nerf_siren_tpu.render.fast import make_auto_cull_renderer
 
     cfg = NeRFConfig()
@@ -314,9 +314,10 @@ def test_auto_cull_no_empty_rays_keeps_cull_nothing(proxy):
     first = auto(rays)
     assert float(np.min(np.asarray(first["opacity_fine"]))) > 0.5, \
         "fixture must render zero empty rays"
-    assert float(np.asarray(auto.last_eps)) == 2.0  # fallback preserved
+    # eps calibrates from the VISIBLE side: at most 0.5% of visible rays
+    # may score below it, so the budget keeps ~every block
     second = auto(rays)                             # budget from frame 1
-    assert auto.last_active_frac == 1.0             # nothing culled
+    assert auto.last_active_frac >= 0.99            # ~nothing culled
     np.testing.assert_allclose(np.asarray(second["rgb_fine"]),
                                np.asarray(first["rgb_fine"]),
                                rtol=0, atol=1e-6)
