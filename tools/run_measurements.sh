@@ -61,6 +61,18 @@ for s in $STAGES; do
                 --steps 5000 ;;
     siren)    run_stage siren    5400 python tools/siren_convergence.py ;;
     semantic) run_stage semantic 3600 python tools/semantic_convergence.py ;;
+    # round-3 follow-ons: delta-vs-ratio quadrature pairs + re-measure of
+    # the auto-cull rows under the two-sided eps calibration (both merge
+    # row-wise into the existing frontier JSONs; --reuse_scene skips the
+    # ~25 min retrain by loading /tmp/frontier_scene_<scene>.msgpack)
+    ratio_spheres) run_stage ratio_spheres 3600 python tools/fast_frontier.py \
+                --scene spheres --reuse_scene --ratio_only ;;
+    ratio_cluster) run_stage ratio_cluster 3600 python tools/fast_frontier.py \
+                --scene cluster --reuse_scene --ratio_only ;;
+    auto_spheres)  run_stage auto_spheres  3600 python tools/fast_frontier.py \
+                --scene spheres --reuse_scene --auto_only ;;
+    auto_cluster)  run_stage auto_cluster  3600 python tools/fast_frontier.py \
+                --scene cluster --reuse_scene --auto_only ;;
     *) echo "unknown stage: $s" ;;
   esac
 done
