@@ -62,8 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                              'distilled proxy replaces the coarse pass\'s '
                              'placement role and both networks evaluate '
                              'only K selected+uniform samples/ray. '
-                             'culled_fused: both. jnp (default) keeps the '
-                             'f32 parity path')
+                             'culled_fused: both — the RECOMMENDED '
+                             'production backend (measured on-chip: 9.0 '
+                             'vs 62.0 ms/step AND +1.08 dB final PSNR '
+                             'over jnp at 10K steps, docs/'
+                             'fused_train_parity.json). jnp (default) '
+                             'keeps the f32 reference-parity path')
     parser.add_argument('--steps_per_dispatch', type=int, default=1,
                         help='group N epoch batches into one lax.scan device '
                              'program (train_scan_batches); semantics '
