@@ -717,10 +717,16 @@ def make_auto_cull_renderer(
                 # dropped >0.5% of this frame's visible rays.
                 empty = (field_op < 0.01) & valid
                 occ = (field_op > 0.05) & valid
+                # 1-of-8 subsample before the quantiles: nanquantile sorts
+                # its whole input, and two full-frame (640K) sorts cost
+                # real ms; quantiles of an 80K systematic sample are
+                # statistically identical for calibration purposes
+                sub = lambda v: v.reshape(-1, 8)[:, 0]  # noqa: E731
+                pre_s = sub(pre_flat)
                 eps_emp = jnp.nanquantile(
-                    jnp.where(empty, pre_flat, jnp.nan), 0.995)
+                    jnp.where(sub(empty), pre_s, jnp.nan), 0.995)
                 eps_occ = jnp.nanquantile(
-                    jnp.where(occ, pre_flat, jnp.nan), 0.005)
+                    jnp.where(sub(occ), pre_s, jnp.nan), 0.005)
                 eps_cal = jnp.nanmin(jnp.stack([eps_emp, eps_occ]))
                 # clip BEFORE the fallback select: clipping after would
                 # collapse the keep-previous-eps value (e.g. the frame-1

@@ -274,10 +274,13 @@ def make_fast_eg3d_renderer(
                 # under-scores). eps = min of the two.
                 empty = (opac_a < 0.01) & valid
                 occ = (opac_a > 0.05) & valid
+                # 1-of-8 subsample before the quantiles (see render/fast.py)
+                sub = lambda v: v.reshape(-1, 8)[:, 0]  # noqa: E731
+                pre_s = sub(act_pre)
                 eps_emp = jnp.nanquantile(
-                    jnp.where(empty, act_pre, jnp.nan), 0.995)
+                    jnp.where(sub(empty), pre_s, jnp.nan), 0.995)
                 eps_occ = jnp.nanquantile(
-                    jnp.where(occ, act_pre, jnp.nan), 0.005)
+                    jnp.where(sub(occ), pre_s, jnp.nan), 0.005)
                 eps_cal = jnp.nanmin(jnp.stack([eps_emp, eps_occ]))
                 # clip BEFORE the fallback select — clipping after would
                 # collapse the keep-previous-eps value (frame-1's
