@@ -412,6 +412,13 @@ def main():
             (32, 12, None, None, "mid", "ratio"),
             (32, 16, None, None, "mid", "ratio"),
             (32, 24, None, None, "mid", "ratio"),
+            # ratio + FINER CDF: at C=32 both rules are bounded by the
+            # same within-cell uniformity (measured wash); extra
+            # candidates refine ratio's integration, not just placement
+            # (the round-2 "C does not help" negative was delta-only)
+            (64, 12, None, None, "mid", "ratio"),
+            (64, 16, None, None, "mid", "ratio"),
+            (96, 16, None, None, "mid", "ratio"),
         ]
     if args.auto_only:
         fused_sweep = []
