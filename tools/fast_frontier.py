@@ -489,6 +489,9 @@ def main():
         (16, 1.2, 16, "mid", "auto", "delta"),
         (24, 1.2, 16, "mid", "auto", "delta"),
         (32, 1.2, 16, "mid", "auto", "delta"),
+        # cheaper prepass: ranking needs even less resolution than 16
+        (16, 1.2, 8, "mid", "auto", "delta"),
+        (24, 1.2, 8, "mid", "auto", "delta"),
         # proxy-shaped stratum quadrature under the safe auto-cull driver
         (12, 1.2, 16, "mid", "auto", "ratio"),
         (16, 1.2, 16, "mid", "auto", "ratio"),
