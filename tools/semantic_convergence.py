@@ -40,9 +40,21 @@ def run(cmd, cwd):
     return p.stdout, time.time() - t0
 
 
+def _step_key(p):
+    # numeric sort: lexicographic puts 'epoch=9' after 'epoch=11'
+    return [int(x) for x in re.findall(r"\d+", os.path.basename(p))]
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--pretrain_epochs", type=int, default=30,
+                    help="mode-normal epochs to train the radiance field "
+                         "BEFORE the semantic phase: --mode d3 freezes the "
+                         "NeRF (no_grad_on_nerf, the reference semantics — "
+                         "its d3 runs warm-start from a pretrained field "
+                         "via --pretrained), so training d3 from scratch "
+                         "leaves rgb at random-init quality")
     ap.add_argument("--hw", type=int, nargs=2, default=(80, 60))
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--networks", type=str, nargs="+",
@@ -53,11 +65,35 @@ def main():
 
     from tests.datasets_synthetic import make_replica_dataset
 
+    import glob as globmod
+
     workdir = tempfile.mkdtemp(prefix="sem_conv_")
     scene = make_replica_dataset(os.path.join(workdir, "scene"),
                                  n_frames=args.frames, hw=tuple(args.hw))
     results = {"fixture": {"frames": args.frames, "hw": list(args.hw)},
-               "epochs": args.epochs, "networks": {}}
+               "epochs": args.epochs,
+               "pretrain_epochs": args.pretrain_epochs, "networks": {}}
+
+    # phase 1: the radiance field (reference workflow: train normal, then
+    # d3 picks it up frozen via --pretrained)
+    pre_cmd = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--root_dir", scene, "--dataset_name", "replica",
+        "--mode", "normal", "--loss_type", "mse",
+        "--img_wh", str(args.hw[0]), str(args.hw[1]),
+        "--N_samples", "32", "--N_importance", "0",
+        "--batch_size", "1024", "--num_epochs", str(args.pretrain_epochs),
+        "--lr", "5e-3", "--decay_step", str(args.pretrain_epochs // 2),
+        "--exp_name", "semconv_field",
+    ]
+    out_p, pre_s = run(pre_cmd, workdir)
+    tail = [ln for ln in out_p.splitlines() if "val/" in ln or "epoch" in ln]
+    print("\n".join(tail[-2:]), flush=True)
+    field_ckpt = sorted(globmod.glob(
+        os.path.join(workdir, "ckpts", "semconv_field", "*.msgpack")),
+        key=_step_key)[-1]
+    results["field_pretrain_wall_s"] = round(pre_s, 1)
+
     for net in args.networks:
         exp = f"semconv_{net}"
         train_cmd = [
@@ -69,18 +105,12 @@ def main():
             "--N_samples", "32", "--N_importance", "0",
             "--batch_size", "1024", "--num_epochs", str(args.epochs),
             "--lr", "1e-3", "--decay_step", "100",
+            "--pretrained", field_ckpt,
             "--exp_name", exp,
         ]
         out, train_s = run(train_cmd, workdir)
         tail = [ln for ln in out.splitlines() if "val/" in ln or "epoch" in ln]
         print("\n".join(tail[-4:]), flush=True)
-
-        import glob as globmod
-        import re
-
-        def _step_key(p):
-            # numeric sort: lexicographic puts 'epoch=9' after 'epoch=11'
-            return [int(x) for x in re.findall(r"\d+", os.path.basename(p))]
 
         ckpts = sorted(globmod.glob(
             os.path.join(workdir, "ckpts", exp, "*.msgpack")), key=_step_key)
