@@ -118,12 +118,47 @@ def get_opts(args=None):
                              "(reference eval.py:122-174)")
     parser.add_argument('--semantic_network', type=str, default='pointnet',
                         choices=['pointnet', 'conv3d'])
-    parser.add_argument('--n_classes', type=int, default=6,
-                        help='semantic class count (reference hardcodes 6)')
+    parser.add_argument('--n_classes', type=int, default=0,
+                        help='semantic class count; 0 (default) = infer it '
+                             'from the checkpoint\'s points classifier head '
+                             '— train.py sizes the head from the dataset '
+                             '(train.py:176), so a hand-typed count that '
+                             'disagrees with the checkpoint would silently '
+                             'leave the classifier at random init (the '
+                             'prefix load skips shape-mismatched leaves)')
     parser.add_argument('--point_capacity', type=int, default=8192,
                         help='fixed point-cloud capacity for the semantic '
                              'network (render_rays_3d top-K redesign)')
+    parser.add_argument('--cls_threshold', type=float, default=None,
+                        help="weight-mask threshold for the semantic point "
+                             "cloud; default None = the reference's "
+                             "behavior (weights > 0.5 at test time, i.e. "
+                             "N_importance > 0; > 0 otherwise, "
+                             "rendering.py:354-361). The 0.5 test mask "
+                             "presumes a converged 64+128-sample field — "
+                             "on a diffuse field it selects nothing and "
+                             "class maps degenerate to class 0; pass 0.0 "
+                             "(the training mask) in that case")
     return parser.parse_args(args)
+
+
+def infer_ckpt_classes(ckpt_path, semantic_network):
+    """Class count of the checkpoint's points classifier head, or None.
+
+    pointnet: conv4 kernel (128, k) — models/pointnet.py:118;
+    conv3d:   head kernel (1,1,1,16,k) — models/voxel_unet.py.
+    """
+    from nerf_siren_tpu.training.checkpoints import load_checkpoint
+    ckpt = load_checkpoint(ckpt_path)
+    tree = ckpt.get('params', ckpt) if isinstance(ckpt, dict) else {}
+    pts = tree.get('points') if isinstance(tree, dict) else None
+    if not isinstance(pts, dict):
+        return None
+    try:
+        head = pts['conv4'] if semantic_network == 'pointnet' else pts['head']
+        return int(np.asarray(head['kernel']).shape[-1])
+    except (KeyError, TypeError):
+        return None
 
 
 def main(hparams):
@@ -183,6 +218,28 @@ def main(hparams):
                   f'{hparams.renderer}', flush=True)
         from nerf_siren_tpu.render.rendering_3d import render_rays_3d
 
+        # class count must match the checkpoint's classifier head exactly:
+        # the prefix load is non-strict and SKIPS shape-mismatched leaves,
+        # so a wrong count would silently evaluate a random-init classifier
+        # (this produced near-chance class maps before the check existed).
+        # train.py sizes the head from the dataset (train.py:176, e.g.
+        # replica = 102), so infer from the checkpoint, not a CLI guess.
+        ckpt_classes = infer_ckpt_classes(hparams.ckpt_path,
+                                          hparams.semantic_network)
+        if hparams.n_classes == 0:
+            hparams.n_classes = (ckpt_classes
+                                 or getattr(dataset, 'n_classes', 0) or 6)
+            print(f'n_classes = {hparams.n_classes} '
+                  f'({"checkpoint head" if ckpt_classes else "dataset"})',
+                  flush=True)
+        elif ckpt_classes and ckpt_classes != hparams.n_classes:
+            raise SystemExit(
+                f'--n_classes {hparams.n_classes} does not match the '
+                f'checkpoint\'s {hparams.semantic_network} classifier head '
+                f'({ckpt_classes} classes); the non-strict load would keep '
+                f'the random init. Pass --n_classes {ckpt_classes} or 0 '
+                f'(auto).')
+
         if hparams.semantic_network == 'pointnet':
             from nerf_siren_tpu.models.pointnet import (
                 apply_pointnet_dense_cls, init_pointnet_dense_cls)
@@ -199,7 +256,8 @@ def main(hparams):
         sem_kwargs = dict(n_classes=hparams.n_classes,
                           point_capacity=hparams.point_capacity,
                           no_grad_on_nerf=False, points_apply=points_apply,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype,
+                          cls_threshold=hparams.cls_threshold)
 
         @jax.jit
         def render(params, rays):
@@ -424,7 +482,7 @@ def main(hparams):
     os.makedirs(out_dir, exist_ok=True)
 
     imgs, psnrs = [], []
-    cls_accs, mious = [], []
+    cls_accs, mious, empty_frac = [], [], []
     for i in range(len(dataset)):
         sample = dataset[i]
         out = render(params, jnp.asarray(sample['rays']))
@@ -440,6 +498,10 @@ def main(hparams):
             cls_key = key.replace('rgb', 'cls')
             raw_cls = np.asarray(out[cls_key], np.float32)
             cls_pred = np.argmax(raw_cls, axis=-1).reshape(h, w)
+            # all-zero logit rows = rays whose point cloud had NO sample
+            # above the weight mask (semantic_from_weights zeroes invalid
+            # points) — track them to warn about a degenerate threshold
+            empty_frac.append(float(np.mean(np.all(raw_cls == 0.0, axis=-1))))
             # reference format: class id x 10 as r_<i>.png (eval.py:168)
             imageio.imwrite(os.path.join(out_dir, f'r_{i}.png'),
                             (cls_pred * 10).astype(np.uint8))
@@ -475,6 +537,13 @@ def main(hparams):
     if cls_accs:
         print(f'Mean class accuracy: {np.mean(cls_accs):.4f} '
               f'mIoU: {np.mean(mious):.4f}')
+    if empty_frac and np.mean(empty_frac) > 0.9:
+        thr = ('0.5 (reference test-time mask)'
+               if hparams.cls_threshold is None else hparams.cls_threshold)
+        print(f'WARNING: {np.mean(empty_frac):.0%} of rays had no point '
+              f'above the weight mask (threshold {thr}) — class maps are '
+              f'degenerate. For coarse-only / low-N_samples checkpoints '
+              f'pass --cls_threshold 0.0 (the training mask).')
     return np.mean(psnrs) if psnrs else None
 
 

@@ -94,12 +94,24 @@ def render_rays_3d(
     n_freqs_dir: int = 4,
     compute_dtype=None,
     points_apply: Callable = apply_pointnet_dense_cls,
+    cls_threshold: Optional[float] = None,
 ) -> Dict[str, jax.Array]:
     """Render rgb + depth + per-ray class log-prob maps.
 
     params: {'coarse': nerf, 'fine': nerf (optional), 'points': pointnet}.
     Output keys add cls_coarse/cls_fine to the render_rays contract
     (reference rendering.py:445-470).
+
+    cls_threshold overrides the reference's weight-mask threshold
+    (rendering.py:354-361: weights > 0.5 at test time, > 0 in training).
+    The 0.5 test-time mask presumes the reference recipe (64 coarse + 128
+    importance samples on a converged field) where single samples at a
+    sharp surface absorb most of the transmittance; on a diffuse or
+    weakly-converged field no weight reaches 0.5, the valid set goes
+    empty, and class maps silently degenerate to class 0 (the
+    tests/test_semantic.py threshold-override test demonstrates exactly
+    this on a random-init field). eval.py exposes this as
+    --cls_threshold for test-time (N_importance > 0) evaluation.
     """
     def field_fn(p, xyz, d_emb):
         out = _default_field_fn(p, xyz, d_emb, nerf_cfg=nerf_cfg,
@@ -110,7 +122,8 @@ def render_rays_3d(
     near, far = rays[:, 6:7], rays[:, 7:8]
     dir_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     dir_emb = positional_encoding(rays_d, n_freqs_dir)
-    threshold = 0.5 if cfg.test_time else 0.0
+    threshold = ((0.5 if cfg.test_time else 0.0)
+                 if cls_threshold is None else cls_threshold)
 
     if rng is not None:
         k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(rng, 4)

@@ -171,8 +171,55 @@ def make_llff_cls_dataset(root, hw=(40, 30), cam_dist=4.0):
     return root
 
 
+def render_room_scene(c2w, h, w, focal, radius=1.0, room_radius=4.5):
+    """Analytic sphere-in-a-room scene: Lambertian red sphere at the origin
+    enclosed by an inward-facing wall sphere with a smooth position-coded
+    color. Every ray terminates on geometry — the structure of a real
+    Replica indoor scan. (An earlier open fixture left 85%+ of rays ending
+    on a white void at infinity; with white_back=False that trains into the
+    near-plane-floater local minimum — sigma saturates at the first sample,
+    every frame renders constant white, PSNR pins at ~11.7 dB forever.)
+
+    Returns (rgb f32 (h,w,3) in [0,1], depth_m f32 (h,w), cls uint8 (h,w))
+    with cls 0 = wall, 1 = sphere x<0, 2 = sphere x>0.
+    """
+    j, i = np.meshgrid(np.arange(h, dtype=np.float32),
+                       np.arange(w, dtype=np.float32), indexing="ij")
+    dirs = np.stack([(i - w / 2) / focal, -(j - h / 2) / focal, -np.ones_like(i)], -1)
+    dirs = dirs @ c2w[:, :3].T
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = c2w[:, 3]
+
+    # inner sphere (nearest root)
+    b = 2 * np.sum(dirs * o, -1)
+    c = np.sum(o * o) - radius ** 2
+    disc = b ** 2 - 4 * c
+    hit = disc > 0
+    t_s = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+    # wall sphere (camera inside -> farthest root is the forward hit)
+    c_w = np.sum(o * o) - room_radius ** 2
+    disc_w = b ** 2 - 4 * c_w
+    t_w = (-b + np.sqrt(np.maximum(disc_w, 0))) / 2
+
+    t = np.where(hit, t_s, t_w)
+    pts = o + dirs * t[..., None]
+
+    light = np.array([0.5, 0.5, 0.8])
+    light = light / np.linalg.norm(light)
+    lam = np.clip(np.sum(pts / radius * light, -1), 0.1, 1.0)
+    sphere_rgb = np.asarray([1.0, 0.2, 0.2]) * lam[..., None]
+    # wall: smooth low-frequency position code a 32-sample field can fit
+    n_w = pts / room_radius
+    wall_rgb = 0.55 + 0.35 * n_w
+    rgb = np.where(hit[..., None], sphere_rgb, wall_rgb)
+    cls = np.where(hit, np.where(pts[..., 0] > 0, 2, 1), 0).astype(np.uint8)
+    return np.clip(rgb, 0, 1), t.astype(np.float32), cls
+
+
 def make_replica_dataset(root, n_frames=10, hw=(40, 30)):
-    """Replica-format scene: traj_w_c.txt + rgb/depth/semantic_class dirs."""
+    """Replica-format scene (traj_w_c.txt + rgb/depth/semantic_class dirs):
+    the sphere-in-a-room analytic scene — closed geometry like a real
+    Replica scan (see render_room_scene for why the room matters)."""
     import cv2
     w, h = hw
     for d in ("rgb", "depth", "semantic_class"):
@@ -188,13 +235,13 @@ def make_replica_dataset(root, n_frames=10, hw=(40, 30)):
         cv_pose = np.stack([gl[:, 0], -gl[:, 1], -gl[:, 2], gl[:, 3]], 1)
         T = np.concatenate([cv_pose, [[0, 0, 0, 1.0]]], 0)
         Ts.append(T)
-        img = render_sphere_image(gl, h, w, focal)
-        cv2.imwrite(os.path.join(root, "rgb", f"rgb_{k}.png"), img[..., 2::-1])
-        depth_mm = np.full((h, w), 3000, np.uint16)
+        rgb, depth_m, cls = render_room_scene(gl, h, w, focal)
+        img = (rgb * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "rgb", f"rgb_{k}.png"), img[..., ::-1])
+        depth_mm = np.clip(depth_m * 1000, 0, 65535).astype(np.uint16)
         cv2.imwrite(os.path.join(root, "depth", f"depth_{k}.png"), depth_mm)
-        cls = sphere_class_map(gl, h, w, focal)
         cv2.imwrite(os.path.join(root, "semantic_class", f"semantic_class_{k}.png"),
-                    cls.astype(np.uint8))
+                    cls)
     np.savetxt(os.path.join(root, "traj_w_c.txt"),
                np.stack(Ts).reshape(n_frames, 16), delimiter=" ")
     return root

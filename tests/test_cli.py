@@ -490,11 +490,34 @@ def test_eval_cli_semantic_d3(tmp_path_factory, capfd):
         ]))
         out = capfd.readouterr().out
         assert "Mean class accuracy" in out and "mIoU" in out
+        # class count must come from the checkpoint head, not a CLI guess —
+        # train.py sized it from the dataset; a mismatched guess would
+        # silently evaluate a random-init classifier (non-strict load skips
+        # shape-mismatched leaves)
+        assert "n_classes" in out and "checkpoint head" in out
         res = os.path.join(wd, "results", "blender_cls_ib")
         cls_maps = glob.glob(os.path.join(res, "sem", "r_*.png"))
         assert cls_maps, "reference-format class maps missing"
         overlays = glob.glob(os.path.join(res, "sem_cls_map", "*"))
         assert overlays, "color_cls overlays missing"
+
+        # an explicit count that contradicts the checkpoint must FAIL, not
+        # silently evaluate random weights
+        import pytest
+        with pytest.raises(SystemExit, match="classifier head"):
+            eval_main(eval_opts([
+                "--root_dir", scene,
+                "--dataset_name", "blender_cls_ib",
+                "--split", "test",
+                "--img_wh", "40", "40",
+                "--N_samples", "16", "--N_importance", "0",
+                "--ckpt_path", ckpt,
+                "--scene_name", "sem_bad",
+                "--mode", "d3",
+                "--semantic_network", "pointnet",
+                "--point_capacity", "2048",
+                "--n_classes", "17",
+            ]))
     finally:
         os.chdir(cwd)
 

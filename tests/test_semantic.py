@@ -127,6 +127,38 @@ def test_render_rays_3d_contract(n_importance, rng):
     assert np.isfinite(np.asarray(out["cls_coarse"])).all()
 
 
+def test_render_rays_3d_cls_threshold_override(rng):
+    """cls_threshold overrides the reference test-time mask (weights > 0.5).
+
+    A random-init field spreads transmittance over many samples, so at
+    test_time the 0.5 mask selects nothing and every class logit row is
+    exactly zero (semantic_from_weights zeroes invalid points); the
+    training mask (0.0) keeps the top-k cloud valid and produces nonzero
+    logits. Guards eval.py --cls_threshold (low-N_samples checkpoints).
+
+    test_time=True requires a fine pass (the coarse branch is sigma-only,
+    exactly like eval.py which sets test_time = N_importance > 0), so the
+    contract is checked on cls_fine."""
+    params = {
+        "coarse": init_nerf(jax.random.PRNGKey(0)),
+        "fine": init_nerf(jax.random.PRNGKey(1)),
+        "points": init_pointnet_dense_cls(jax.random.PRNGKey(2), k=6, inc=6),
+    }
+    cfg = RenderConfig(n_samples=16, n_importance=16, noise_std=0.0,
+                       test_time=True)
+    rays = _make_rays(12, rng)
+    ref = render_rays_3d(params, rays, cfg, None, point_capacity=64)
+    over = render_rays_3d(params, rays, cfg, None, point_capacity=64,
+                          cls_threshold=0.0)
+    ref_cls = np.asarray(ref["cls_fine"])
+    over_cls = np.asarray(over["cls_fine"])
+    assert np.all(ref_cls == 0.0)          # 0.5 mask empty on a diffuse field
+    assert np.any(over_cls != 0.0)         # training mask keeps the cloud
+    # cls_threshold must not perturb the radiance outputs
+    np.testing.assert_array_equal(np.asarray(ref["rgb_fine"]),
+                                  np.asarray(over["rgb_fine"]))
+
+
 def test_nerf3d_system_trains(rng):
     from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
 

@@ -98,7 +98,15 @@ def test_replica_loader(replica_root):
     item = test_ds[0]
     assert item["rays"].shape == (n_px, 8)
     assert item["depth"].shape == (n_px,)
-    np.testing.assert_allclose(item["depth"], 3.0, rtol=1e-5)  # 3000mm -> 3m
+    # sphere-in-a-room analytic depths (mm PNG -> m): every ray terminates
+    # on geometry — sphere at t ~ |eye|-1 ~ 2.13, walls within
+    # room_radius +- |eye| = 4.5 +- 3.13
+    depth = np.asarray(item["depth"])
+    assert depth.min() > 1.0 and depth.max() < 8.0
+    center = depth.reshape(30, 40)[15, 20]
+    np.testing.assert_allclose(
+        center, np.linalg.norm(test_ds.poses[0][:3, 3]) - 1.0,
+        atol=0.05)  # central ray hits the sphere
 
 
 def test_replica_rays_geometry(replica_root):
@@ -113,3 +121,42 @@ def test_replica_rays_geometry(replica_root):
     to_origin = -o / np.linalg.norm(o)
     cos = np.dot(d / np.linalg.norm(d), to_origin)
     assert cos > 0.95, f"central ray not looking at scene center: cos={cos}"
+
+
+def test_replica_fixture_is_learnable():
+    """A NeRF must actually LEARN the replica fixture — guards against the
+    degenerate open-scene fixture this replaced (85% of rays ended on a
+    white void at infinity; with white_back=False training collapsed into
+    the near-plane-floater minimum: sigma saturates at the first sample,
+    every frame renders constant white, and train/val PSNR pins at
+    ~10-11.7 dB forever while every only-checks-finiteness CLI test stays
+    green). The room fixture closes the scene, and this test pins the
+    property the convergence evidence depends on."""
+    import tempfile
+
+    import jax
+
+    from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
+    from nerf_siren_tpu.training.system import NeRFSystem, epoch_iterator
+    from tests.datasets_synthetic import make_replica_dataset
+
+    root = make_replica_dataset(tempfile.mkdtemp(), n_frames=6, hw=(40, 30))
+    ds = dataset_dict["replica"](root, "train", img_wh=(40, 30),
+                                 total_num=6, step=2)
+    system = NeRFSystem(
+        RenderConfig(n_samples=24, n_importance=0, perturb=1.0,
+                     noise_std=1.0, white_back=ds.white_back),
+        TrainConfig(lr=2e-3, batch_size=512, decay_step=(100,)),
+        NeRFConfig(), steps_per_epoch=7)
+    state = system.init_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    first_psnr, last_psnr = None, None
+    for epoch in range(10):
+        for batch in epoch_iterator(ds.all_rays, ds.all_rgbs, 512, 0, epoch):
+            state, m = system.train_step(state, batch, rng)
+            if first_psnr is None:
+                first_psnr = float(m["train/psnr"])
+    last_psnr = float(m["train/psnr"])
+    assert last_psnr > first_psnr + 2.0 and last_psnr > 13.5, (
+        f"replica fixture did not train: {first_psnr:.2f} -> "
+        f"{last_psnr:.2f} dB (near-plane collapse pins at ~10-11.7)")

@@ -122,6 +122,10 @@ def main():
             "--N_samples", "32", "--N_importance", "0",
             "--ckpt_path", ckpts[-1],
             "--scene_name", exp, "--mode", "d3",
+            # n_classes is inferred from the checkpoint's classifier head
+            # (train.py sizes it from the dataset: replica = 102) — a
+            # hand-typed count would silently leave the classifier at
+            # random init via the non-strict prefix load
             "--semantic_network", net, "--point_capacity", "8192",
         ]
         out_e, eval_s = run(eval_cmd, workdir)
