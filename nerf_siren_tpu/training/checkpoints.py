@@ -50,36 +50,77 @@ def extract_model_state(
     return src.get(model_name)
 
 
-def merge_params(params: Any, loaded: Any) -> Any:
+def merge_params(params: Any, loaded: Any, stats: Optional[Dict[str, int]] = None) -> Any:
     """Non-strict merge: take loaded leaves where structure+shape match,
-    keep existing params elsewhere (reference: utils/__init__.py:73-86)."""
+    keep existing params elsewhere (reference: utils/__init__.py:73-86).
+
+    `stats` (optional dict) accumulates 'taken' / 'skipped_shape' /
+    'missing' leaf counts so callers can detect a load that silently
+    did nothing (see load_ckpt)."""
+    def _count(key):
+        if stats is not None:
+            stats[key] = stats.get(key, 0) + 1
+
     if loaded is None:
+        if stats is not None:
+            stats["missing"] = stats.get("missing", 0) + len(
+                jax.tree_util.tree_leaves(params))
         return params
     if isinstance(params, dict) and isinstance(loaded, dict):
-        return {k: merge_params(v, loaded.get(k)) if k in loaded else v
+        return {k: merge_params(v, loaded.get(k), stats) if k in loaded
+                else merge_params(v, None, stats)
                 for k, v in params.items()}
     if isinstance(params, (list, tuple)) and isinstance(loaded, (list, tuple, dict)):
         # msgpack restores lists as dicts with int-string keys in some versions
         if isinstance(loaded, dict):
             loaded = [loaded.get(str(i), loaded.get(i)) for i in range(len(params))]
-        out = [merge_params(p, l) for p, l in zip(params, loaded)]
+        out = [merge_params(p, l, stats) for p, l in zip(params, loaded)]
         return type(params)(out) if isinstance(params, tuple) else out
     # leaves
     try:
         if hasattr(params, "shape") and hasattr(loaded, "shape") and params.shape != loaded.shape:
+            _count("skipped_shape")
             return params
     except Exception:
+        _count("skipped_shape")
         return params
+    _count("taken")
     return loaded
 
 
 def load_ckpt(params: Any, path: str, model_name: str,
               prefixes_to_ignore: Iterable[str] = ("loss",)) -> Any:
-    """Warm-start `params` for `model_name` from a checkpoint file, non-strict."""
+    """Warm-start `params` for `model_name` from a checkpoint file, non-strict.
+
+    Non-strict like the reference (utils/__init__.py:73-86), but LOUD about
+    loads that do nothing: a checkpoint with no `model_name` subtree, or
+    whose leaves all mismatch in shape, leaves the random init in place —
+    which downstream looks exactly like a trained-but-terrible model (this
+    silently produced near-chance semantic eval maps once). Prints a
+    warning instead of raising so legitimate partial warm-starts keep
+    working."""
     if not path:
         return params
     ckpt = load_checkpoint(path)
-    return merge_params(params, extract_model_state(ckpt, model_name, prefixes_to_ignore))
+    sub = extract_model_state(ckpt, model_name, prefixes_to_ignore)
+    if model_name in tuple(prefixes_to_ignore):
+        return params
+    stats: Dict[str, int] = {}
+    merged = merge_params(params, sub, stats)
+    if sub is None:
+        print(f"WARNING: checkpoint {path} has no '{model_name}' "
+              f"parameters - keeping the (random) init", flush=True)
+    elif stats.get("taken", 0) == 0:
+        print(f"WARNING: checkpoint {path} matched ZERO '{model_name}' "
+              f"leaves ({stats.get('skipped_shape', 0)} shape mismatches, "
+              f"{stats.get('missing', 0)} missing) - keeping the (random) "
+              f"init", flush=True)
+    elif stats.get("skipped_shape", 0):
+        print(f"NOTE: '{model_name}' load from {path}: "
+              f"{stats['taken']} leaves taken, "
+              f"{stats['skipped_shape']} skipped on shape mismatch",
+              flush=True)
+    return merged
 
 
 # -- full training-state checkpoints (resume) ---------------------------------

@@ -86,6 +86,50 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path):
                                np.asarray(fresh["sigma"]["kernel"]))
 
 
+def test_load_ckpt_warns_on_noop_load(tmp_path, capfd):
+    """A load that takes ZERO leaves (absent model name, or every leaf
+    shape-mismatched) must stay a non-strict no-op BUT say so loudly —
+    silently keeping the random init once produced near-chance semantic
+    eval maps (eval.py n_classes mismatch)."""
+    from nerf_siren_tpu.models.nerf import init_nerf
+    from nerf_siren_tpu.config import NeRFConfig
+    p1 = init_nerf(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, {"nerf_coarse": p1})
+
+    fresh = init_nerf(jax.random.PRNGKey(7))
+    # absent model name: no-op + warning
+    same = load_ckpt(fresh, path, "points")
+    np.testing.assert_allclose(np.asarray(same["sigma"]["kernel"]),
+                               np.asarray(fresh["sigma"]["kernel"]))
+    out = capfd.readouterr().out
+    assert "WARNING" in out and "points" in out
+
+    # different topology (depth=2, width=32): most leaves shape-mismatch,
+    # only same-shape heads load -> partial-load NOTE
+    narrow = init_nerf(jax.random.PRNGKey(8), NeRFConfig(depth=2, width=32))
+    same2 = load_ckpt(narrow, path, "nerf_coarse")
+    np.testing.assert_allclose(np.asarray(same2["sigma"]["kernel"]),
+                               np.asarray(narrow["sigma"]["kernel"]))
+    out = capfd.readouterr().out
+    assert "NOTE" in out and "skipped on shape mismatch" in out
+
+    # fully disjoint structure: zero leaves taken -> WARNING
+    path2 = str(tmp_path / "ckpt2.msgpack")
+    save_checkpoint(path2, {"nerf_coarse": {"foo": np.ones(3)}})
+    same3 = load_ckpt(fresh, path2, "nerf_coarse")
+    np.testing.assert_allclose(np.asarray(same3["sigma"]["kernel"]),
+                               np.asarray(fresh["sigma"]["kernel"]))
+    out = capfd.readouterr().out
+    assert "WARNING" in out and "ZERO" in out
+
+    # a clean full load stays silent
+    warm = load_ckpt(init_nerf(jax.random.PRNGKey(9)), path, "nerf_coarse")
+    np.testing.assert_allclose(np.asarray(warm["sigma"]["kernel"]),
+                               np.asarray(p1["sigma"]["kernel"]))
+    assert "WARNING" not in capfd.readouterr().out
+
+
 def test_async_checkpointer_roundtrip(tmp_path):
     """AsyncCheckpointer writes a file restore_train_state can read, and
     wait() makes it durable; saving twice reuses the single worker."""

@@ -83,7 +83,7 @@ def main():
         "--img_wh", str(args.hw[0]), str(args.hw[1]),
         "--N_samples", "32", "--N_importance", "0",
         "--batch_size", "1024", "--num_epochs", str(args.pretrain_epochs),
-        "--lr", "5e-3", "--decay_step", str(args.pretrain_epochs // 2),
+        "--lr", "2e-3", "--decay_step", str(args.pretrain_epochs // 2),
         "--exp_name", "semconv_field",
     ]
     out_p, pre_s = run(pre_cmd, workdir)
