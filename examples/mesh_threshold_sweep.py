@@ -12,6 +12,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS=cpu even on machines whose sitecustomize
+# force-registers a TPU platform (env alone is ignored there; tests rely
+# on this to stay off a possibly-unreachable tunneled device)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import argparse
 

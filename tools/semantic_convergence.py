@@ -56,7 +56,12 @@ def main():
                          "via --pretrained), so training d3 from scratch "
                          "leaves rgb at random-init quality")
     ap.add_argument("--hw", type=int, nargs=2, default=(80, 60))
-    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--frames", type=int, default=40,
+                    help="fixture frames; the replica loader trains on every "
+                         "5th (replica.py:84), so 40 frames = 8 train + 8 "
+                         "held-out views — enough orbit coverage that the "
+                         "field generalizes between poses (3 train views "
+                         "overfit to ~16 dB val)")
     ap.add_argument("--networks", type=str, nargs="+",
                     default=["pointnet", "conv3d"])
     ap.add_argument("--out", type=str,
