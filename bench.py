@@ -441,10 +441,21 @@ def _probe_device(timeout_s: float) -> tuple[bool, str]:
     code = ("import jax, jax.numpy as jnp; d = jax.devices(); "
             "assert float(jnp.sum(jnp.ones((8, 8)))) == 64.0; "
             "print('PROBE_OK', d)")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True)
     try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True, timeout=timeout_s)
+        out, err = proc.communicate(timeout=timeout_s)
+        r = subprocess.CompletedProcess(proc.args, proc.returncode, out, err)
     except subprocess.TimeoutExpired:
+        # SIGINT first: killing a process mid-backend-init (SIGKILL) has been
+        # observed to deepen a tunnel wedge; give it a chance to unwind.
+        proc.send_signal(2)
+        try:
+            proc.communicate(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
         return False, f"device probe hung >{timeout_s:.0f}s (tunnel wedged)"
     if r.returncode == 0 and "PROBE_OK" in r.stdout:
         return True, ""
@@ -455,7 +466,11 @@ def _probe_device(timeout_s: float) -> tuple[bool, str]:
 def supervisor() -> int:
     max_attempts = 12          # cheap probes make many attempts affordable
     backoff_s = 120
-    probe_timeout_s = 150
+    # Cold-but-healthy backend init was MEASURED at ~190 s on this tunnel
+    # (r3, fresh process after an idle stretch); a 150 s probe misreads
+    # that as a wedge and burns half the budget before the patient
+    # fallback. 240 s covers the measured cold init with margin.
+    probe_timeout_s = 240
     attempt_timeout_s = 1800
     total_budget_s = 4200  # hard wall for the whole bench
     start = time.monotonic()
