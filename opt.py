@@ -127,8 +127,21 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         choices=['float32', 'bfloat16'],
                         help='matmul operand dtype (f32 accumulate either way)')
+    # reference flag surface (opt.py:86): mixed precision. The TPU analogue
+    # of the reference's fp16 autocast is bf16 matmul operands; accept the
+    # reference spelling so its train scripts run unmodified. (The reference
+    # declares type=bool, so any non-empty value — even 'False' — enabled it
+    # there; we treat bare-flag or truthy values as on.)
+    parser.add_argument('--is_use_mixed_precision', nargs='?', const='true',
+                        default=None, metavar='BOOL',
+                        help="alias: sets --compute_dtype bfloat16 "
+                             "(reference's fp16 autocast flag)")
     return parser
 
 
 def get_opts(args=None):
-    return build_parser().parse_args(args)
+    opts = build_parser().parse_args(args)
+    if opts.is_use_mixed_precision and \
+            opts.is_use_mixed_precision.lower() not in ('false', '0', 'no'):
+        opts.compute_dtype = 'bfloat16'
+    return opts

@@ -615,3 +615,19 @@ def test_train_culled_backend_eval_reuses_online_proxy(workdir, scene_root,
         assert mean_psnr is not None and np.isfinite(mean_psnr)
     finally:
         os.chdir(cwd)
+
+
+def test_reference_mixed_precision_flag_alias():
+    """The reference's --is_use_mixed_precision (opt.py:86) must be accepted
+    verbatim and map to bf16 MXU operands (the TPU autocast analogue)."""
+    from opt import get_opts
+    base = ["--root_dir", "/x", "--dataset_name", "blender"]
+    assert get_opts(base).compute_dtype == "float32"
+    assert get_opts(base + ["--is_use_mixed_precision"]).compute_dtype \
+        == "bfloat16"
+    assert get_opts(base + ["--is_use_mixed_precision", "True"]) \
+        .compute_dtype == "bfloat16"
+    # deliberate divergence from the reference's type=bool quirk (where
+    # 'False' still enabled it): an explicit falsy value turns it off
+    assert get_opts(base + ["--is_use_mixed_precision", "False"]) \
+        .compute_dtype == "float32"
