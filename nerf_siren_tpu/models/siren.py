@@ -104,16 +104,24 @@ def apply_siren_nerf(
     frequencies: Optional[jax.Array] = None,
     phase_shifts: Optional[jax.Array] = None,
     hidden_dim: int = 256,
+    box_sidelength: float = BOX_WARP_SIDELENGTH,
 ) -> jax.Array:
     """FiLM-conditioned field: returns [rgb(3), sigma(1)] (reference
-    nerf.py:197-215 forward / forward_with_frequencies_phase_shifts)."""
+    nerf.py:197-215 forward / forward_with_frequencies_phase_shifts).
+
+    box_sidelength: UniformBoxWarp size — coordinates scale by
+    2/box_sidelength so a scene box of that sidelength maps to [-1, 1].
+    The reference hardcodes 51 (Replica-room scale, nerf.py:134-140);
+    for other scenes pass ~the scene AABB's extent, or the sin-activation
+    trunk sees near-zero inputs and barely trains (measured: the ±2.2
+    spheres scene stalls at ~10 dB with 51, converges with 4.4)."""
     if frequencies is None:
         if z is None:
             z = params["z"]
         frequencies, phase_shifts = apply_mapping(params, z)
     frequencies = frequencies * 15.0 + 30.0
 
-    x = xyz * (2.0 / BOX_WARP_SIDELENGTH)
+    x = xyz * (2.0 / box_sidelength)
     for i, layer in enumerate(params["network"]):
         s, e = i * hidden_dim, (i + 1) * hidden_dim
         x = apply_film(layer, x, frequencies[..., s:e], phase_shifts[..., s:e])
@@ -133,7 +141,8 @@ def apply_siren_nerf(
     return jnp.concatenate(out, axis=-1)
 
 
-def siren_field_fn(params, xyz, dir_emb, hidden_dim: int = 256):
+def siren_field_fn(params, xyz, dir_emb, hidden_dim: int = 256,
+                   box_sidelength: float = BOX_WARP_SIDELENGTH):
     """render_rays field_fn: the SIREN color branch consumes RAW directions,
     recovered from the embedding's passthrough channels (dir_emb[..., :3]).
     The sigma branch is direction-independent, so the sigma-only path feeds
@@ -141,14 +150,18 @@ def siren_field_fn(params, xyz, dir_emb, hidden_dim: int = 256):
     r, s, _ = xyz.shape
     if dir_emb is None:
         dirs = jnp.zeros((r, s, 3), xyz.dtype)
-        out = apply_siren_nerf(params, xyz, dirs, hidden_dim=hidden_dim)
+        out = apply_siren_nerf(params, xyz, dirs, hidden_dim=hidden_dim,
+                               box_sidelength=box_sidelength)
         return out[..., 3:4]
     dirs = jnp.broadcast_to(dir_emb[:, None, :3], (r, s, 3))
-    return apply_siren_nerf(params, xyz, dirs, hidden_dim=hidden_dim)
+    return apply_siren_nerf(params, xyz, dirs, hidden_dim=hidden_dim,
+                            box_sidelength=box_sidelength)
 
 
-def make_siren_field_fn(rays_d: jax.Array, hidden_dim: int = 256):
+def make_siren_field_fn(rays_d: jax.Array, hidden_dim: int = 256,
+                        box_sidelength: float = BOX_WARP_SIDELENGTH):
     """Compatibility wrapper around siren_field_fn (rays_d is unused — raw
     dirs come from the embedding passthrough)."""
     import functools
-    return functools.partial(siren_field_fn, hidden_dim=hidden_dim)
+    return functools.partial(siren_field_fn, hidden_dim=hidden_dim,
+                             box_sidelength=box_sidelength)

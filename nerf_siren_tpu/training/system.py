@@ -53,6 +53,10 @@ class NeRFSystem:
         siren_hidden: int = 256,
         siren_layers: int = 8,
         siren_z_dim: int = 100,
+        siren_box_warp: float = 51.0,  # UniformBoxWarp sidelength: scene box
+        # extent mapped to [-1,1]; reference hardcodes 51 (Replica rooms,
+        # reference nerf.py:134-140) — size it to the scene or the sin trunk
+        # sees near-zero inputs (models/siren.py docstring has the measurement)
         train_backend: str = "jnp",  # 'jnp' | 'fused' | 'culled' | 'culled_fused'
         culled_candidates: int = 32,
         culled_sel: int = 16,
@@ -71,6 +75,7 @@ class NeRFSystem:
         self.siren_hidden = siren_hidden
         self.siren_layers = siren_layers
         self.siren_z_dim = siren_z_dim
+        self.siren_box_warp = siren_box_warp
         # 'fused': train through the VMEM-resident Pallas fwd+bwd kernels
         # (ops/pallas/fused_mlp_train.py) — bf16 mixed precision, ~3x the
         # field fwd+bwd (measured on-chip); eval/render keeps the jnp path.
@@ -108,7 +113,9 @@ class NeRFSystem:
         """Field override; None selects the default MLP field."""
         if self.field_type == "siren":
             from nerf_siren_tpu.models.siren import siren_field_fn
-            return functools.partial(siren_field_fn, hidden_dim=self.siren_hidden)
+            return functools.partial(siren_field_fn,
+                                     hidden_dim=self.siren_hidden,
+                                     box_sidelength=self.siren_box_warp)
         return None
 
     # -- state ----------------------------------------------------------------

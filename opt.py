@@ -23,6 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['mlp', 'siren'],
                         help='radiance field: positional-encoding MLP or '
                              'SIREN/FiLM (mode=normal)')
+    parser.add_argument('--siren_box_warp', type=float, default=51.0,
+                        help='SIREN UniformBoxWarp sidelength: the scene box '
+                             'extent mapped to [-1,1]. The reference '
+                             'hardcodes 51 (Replica-room scale); size it to '
+                             'your scene (e.g. ~4.4 for blender-style '
+                             'objects) or the sin trunk trains poorly')
     parser.add_argument('--n_classes', type=int, default=0,
                         help='>0 adds the nerf_cls semantic head to the field '
                              '(mode=normal; use with --loss_type msece)')

@@ -59,6 +59,7 @@ def build_system(hparams, white_back: bool, steps_per_epoch: int, n_classes: int
     if hparams.mode == "normal":
         system = NeRFSystem(render_cfg, train_cfg, nerf_cfg, steps_per_epoch, mesh,
                             field_type=getattr(hparams, "field", "mlp"),
+                            siren_box_warp=getattr(hparams, "siren_box_warp", 51.0),
                             train_backend=getattr(hparams, "train_backend", "jnp"))
     elif hparams.mode in ("d3", "d3_ib"):
         from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
