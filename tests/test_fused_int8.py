@@ -1,0 +1,151 @@
+"""int8 fused field kernel vs a jnp fake-quant reference.
+
+The kernel must match a jnp implementation of the SAME quantization recipe
+(per-output-row int8 weights, static per-tensor activation scales, f32/bf16
+heads) — the bit-match policy of SURVEY §7 applied to the quantized trunk.
+The quality cost of the recipe itself vs f32 is measured separately on-chip
+by tools/int8_quality.py (fake-quant) and tools/fast_frontier.py --int8
+(this kernel); docs/int8_quality.json records it.
+
+On CPU these run through the Pallas interpreter — small sizes only.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_siren_tpu.config import NeRFConfig
+from nerf_siren_tpu.models.embedding import positional_encoding
+from nerf_siren_tpu.models.layers import linear
+from nerf_siren_tpu.models.nerf import init_nerf
+from nerf_siren_tpu.ops.pallas import fused_mlp, fused_mlp_int8
+
+EMB_X = 63
+
+
+@pytest.fixture(scope="module", autouse=True)
+def small_tile():
+    old = fused_mlp.TILE_N
+    fused_mlp.TILE_N = 128
+    yield
+    fused_mlp.TILE_N = old
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = NeRFConfig()
+    params = init_nerf(jax.random.PRNGKey(0), cfg)
+    xyz_cal = jax.random.uniform(jax.random.PRNGKey(7), (2048, 3),
+                                 minval=-1.5, maxval=1.5)
+    scales = fused_mlp_int8.calibrate_act_scales(params, xyz_cal, cfg)
+    packed = fused_mlp_int8.pack_nerf_params_int8(params, scales, cfg)
+    return cfg, params, scales, packed
+
+
+def _fake_quant_ref(params, scales, cfg, xyz, dirs):
+    """jnp mirror of the kernel's exact quantization recipe (f32 heads)."""
+    def qw_cols(w_t_cols):
+        # per-output-row int8 on a transposed (O, I) block
+        s = np.max(np.abs(w_t_cols), axis=1, keepdims=True) / 127.0
+        s = np.maximum(s, 1e-12)
+        return np.clip(np.round(w_t_cols / s), -127, 127) * s
+
+    def qa(a, s):
+        step = s / 127.0
+        return np.clip(np.round(np.asarray(a) / step), -127, 127) * step
+
+    emb = np.asarray(positional_encoding(jnp.asarray(xyz), 10))
+    x, e = emb[:, :3], emb[:, 3:]
+    # the kernel quantizes the SIN/COS rows (its own k-major layout) at
+    # 1/127; the interleaved jnp order quantizes identically elementwise
+    xq, eq = qa(x, scales["x"]), qa(e, 1.0)
+    h = None
+    for i in range(cfg.depth):
+        L = params["xyz_layers"][i]
+        w_t = np.asarray(L["kernel"], np.float32).T  # (O, I)
+        if i == 0:
+            w = np.concatenate([qw_cols(w_t[:, :3]), qw_cols(w_t[:, 3:])], 1)
+            y = xq @ w.T[:3] + eq @ w.T[3:]
+        elif i in cfg.skips:
+            w = np.concatenate([qw_cols(w_t[:, :3]),
+                                qw_cols(w_t[:, 3:EMB_X]),
+                                qw_cols(w_t[:, EMB_X:])], 1)
+            hq = qa(h, scales[f"h{i}"])
+            y = xq @ w.T[:3] + eq @ w.T[3:EMB_X] + hq @ w.T[EMB_X:]
+        else:
+            w = qw_cols(w_t)
+            hq = qa(h, scales[f"h{i}"])
+            y = hq @ w.T
+        h = np.maximum(y + np.asarray(L["bias"]), 0.0)
+    hj = jnp.asarray(h)
+    sigma = linear(params["sigma"], hj)
+    feat = linear(params["xyz_final"], hj)
+    demb = positional_encoding(jnp.asarray(dirs), 4)
+    hd = jax.nn.relu(linear(params["dir_layer"],
+                            jnp.concatenate([feat, demb], -1)))
+    rgb = jax.nn.sigmoid(linear(params["rgb"], hd))
+    return np.asarray(jnp.concatenate([rgb, sigma], -1))
+
+
+def test_full_matches_fake_quant_ref(setup):
+    cfg, params, scales, packed = setup
+    key = jax.random.PRNGKey(1)
+    xyz = jax.random.uniform(key, (200, 3), minval=-1.4, maxval=1.4)
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (200, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    n = xyz.shape[0]
+    xyzT = fused_mlp._pad_lanes(xyz.T, fused_mlp.TILE_N)
+    dirT = fused_mlp._pad_lanes(dirs.T, fused_mlp.TILE_N)
+    out = fused_mlp_int8.fused_full_t_int8(packed, xyzT, dirT,
+                                           depth=cfg.depth, skips=cfg.skips)
+    got = np.asarray(out[:4, :n].T)
+    ref = _fake_quant_ref(params, scales, cfg, xyz, dirs)
+
+    # identical int math end-to-end; residual = bf16 heads + folded dir
+    # branch (same residual the bf16 kernel carries vs apply_nerf)
+    np.testing.assert_allclose(got[:, 3], ref[:, 3], atol=5e-2, rtol=2e-2)
+    np.testing.assert_allclose(got[:, :3], ref[:, :3], atol=2e-2)
+    assert got[:, :3].min() >= 0 and got[:, :3].max() <= 1
+
+
+def test_sigma_consistent_with_full(setup):
+    cfg, params, scales, packed = setup
+    xyz = jax.random.uniform(jax.random.PRNGKey(3), (130, 3),
+                             minval=-1.4, maxval=1.4)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (130, 1))
+    n = xyz.shape[0]
+    xyzT = fused_mlp._pad_lanes(xyz.T, fused_mlp.TILE_N)
+    dirT = fused_mlp._pad_lanes(dirs.T, fused_mlp.TILE_N)
+    sig = fused_mlp_int8.fused_sigma_t_int8(packed, xyzT, depth=cfg.depth,
+                                            skips=cfg.skips)
+    full = fused_mlp_int8.fused_full_t_int8(packed, xyzT, dirT,
+                                            depth=cfg.depth, skips=cfg.skips)
+    np.testing.assert_allclose(
+        np.asarray(sig[fused_mlp.SIGMA_ROW, :n]),
+        np.asarray(full[fused_mlp.SIGMA_ROW, :n]), atol=1e-3, rtol=1e-3)
+
+
+def test_int8_close_to_bf16_kernel(setup):
+    """The quantized kernel tracks the bf16 kernel within fake-quant noise
+    on random (untrained) weights — a sanity bound, not the quality gate
+    (that is measured on trained scenes by tools/int8_quality.py)."""
+    cfg, params, scales, packed = setup
+    packed_bf = fused_mlp.pack_nerf_params(params, cfg)
+    xyz = jax.random.uniform(jax.random.PRNGKey(4), (256, 3),
+                             minval=-1.4, maxval=1.4)
+    dirs = jax.random.normal(jax.random.PRNGKey(5), (256, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    n = xyz.shape[0]
+    xyzT = fused_mlp._pad_lanes(xyz.T, fused_mlp.TILE_N)
+    dirT = fused_mlp._pad_lanes(dirs.T, fused_mlp.TILE_N)
+    a = np.asarray(fused_mlp.fused_full_t(packed_bf, xyzT, dirT,
+                                          depth=cfg.depth,
+                                          skips=cfg.skips)[:4, :n])
+    b = np.asarray(fused_mlp_int8.fused_full_t_int8(packed, xyzT, dirT,
+                                                    depth=cfg.depth,
+                                                    skips=cfg.skips)[:4, :n])
+    # rgb in [0,1]: absolute; sigma pre-activation: relative band
+    assert np.max(np.abs(a[:3] - b[:3])) < 0.1
+    sd = np.std(a[3]) + 1e-6
+    assert np.max(np.abs(a[3] - b[3])) / sd < 0.5
