@@ -157,6 +157,19 @@ def distill_proxy(
     return proxy
 
 
+def _field_kernel_for(packed_model: Dict[str, Any]):
+    """Pick the fused field kernel by pack layout: an int8 pack
+    (ops/pallas/fused_mlp_int8.pack_nerf_params_int8, trunk on the MXU's
+    int8 path — 2.4x the bf16 chain in-kernel) carries quantized-weight
+    keys; the bf16 pack (fused_mlp.pack_nerf_params) does not. Callers
+    opt into int8 simply by packing with pack_model_params_int8."""
+    if "q0x" in packed_model:
+        from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import fused_full_t_int8
+        return fused_full_t_int8
+    from nerf_siren_tpu.ops.pallas.fused_mlp import fused_full_t
+    return fused_full_t
+
+
 def render_rays_fast(
     params: Dict[str, Any],
     proxy: Dict[str, Any],
@@ -329,8 +342,9 @@ def render_rays_fast(
                 "quadrature='ratio' needs equal-mass strata (placement='mid')"
         from nerf_siren_tpu.ops.pallas import proxy_march
         from nerf_siren_tpu.ops.pallas.fused_mlp import (
-            TILE_N, SIGMA_ROW, fused_full_t)
+            TILE_N, SIGMA_ROW)
 
+        fused_full_t = _field_kernel_for(packed_params[model])
         tile = proxy_march.TILE_R
 
         def fused_pdf(raysT, k):
@@ -478,9 +492,9 @@ def render_rays_fast(
     # 4. full model at the survivors
     if packed_params is not None:
         from nerf_siren_tpu.ops.pallas import fused_mlp
-        from nerf_siren_tpu.ops.pallas.fused_mlp import (
-            IN_ROWS, SIGMA_ROW, fused_full_t)
+        from nerf_siren_tpu.ops.pallas.fused_mlp import IN_ROWS, SIGMA_ROW
 
+        fused_full_t = _field_kernel_for(packed_params[model])
         oT8 = jnp.pad(rays_o.T, ((0, IN_ROWS - 3), (0, 0)))
         dT8 = jnp.pad(rays_d.T, ((0, IN_ROWS - 3), (0, 0)))
         n_pts = r * n_keep

@@ -160,6 +160,47 @@ def test_fast_render_fused_matches_jnp_branch():
         fused_mlp.TILE_N = old
 
 
+def test_fast_render_int8_pack_dispatch():
+    """An int8 pack (pack_model_params_int8) routes the survivor eval
+    through the int8 kernel and stays close to the bf16-pack render —
+    the quantization noise bound on random weights; trained-scene quality
+    is measured on-chip by tools/fast_frontier.py --int8_only."""
+    from nerf_siren_tpu.models.nerf import init_nerf
+    from nerf_siren_tpu.ops.pallas import fused_mlp, fused_mlp_int8
+    from nerf_siren_tpu.render.fast import _field_kernel_for
+
+    old = fused_mlp.TILE_N
+    fused_mlp.TILE_N = 128
+    try:
+        cfg = NeRFConfig()
+        params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+        packed = fused_mlp.pack_model_params(params, cfg)
+        calib = fused_mlp_int8.default_calib_points(([-2] * 3, [2] * 3), 2048)
+        packed8 = fused_mlp_int8.pack_model_params_int8(params, calib, cfg)
+        assert (_field_kernel_for(packed8["fine"]).__name__
+                == "fused_full_t_int8")
+        assert _field_kernel_for(packed["fine"]).__name__ == "fused_full_t"
+        proxy = init_proxy(jax.random.PRNGKey(1))
+
+        rng = np.random.default_rng(0)
+        n = 24
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = jnp.asarray(np.concatenate(
+            [rng.normal(size=(n, 3)).astype(np.float32) * 0.1, d,
+             np.full((n, 1), 2, np.float32), np.full((n, 1), 6, np.float32)], -1))
+
+        kw = dict(n_candidates=32, n_keep=8, nerf_cfg=cfg, white_back=True,
+                  scene_aabb=([-2] * 3, [2] * 3), select="pdf")
+        a = render_rays_fast(params, proxy, rays, packed_params=packed, **kw)
+        b = render_rays_fast(params, proxy, rays, packed_params=packed8, **kw)
+        # same selection, same compositing; only the trunk is quantized
+        np.testing.assert_allclose(np.asarray(b["rgb_fine"]),
+                                   np.asarray(a["rgb_fine"]), atol=0.1)
+    finally:
+        fused_mlp.TILE_N = old
+
+
 def test_distill_overpredict_weight_suppresses_phantoms():
     """The asymmetric distillation loss must cut proxy overprediction in
     empty space (the failure mode that silently breaks expected-weight

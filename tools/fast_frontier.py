@@ -132,6 +132,12 @@ def main():
                          "(plain fused K sweep + auto-cull rows), merging "
                          "into an existing output JSON; use with "
                          "--reuse_scene after a full sweep")
+    ap.add_argument("--int8_only", action="store_true",
+                    help="measure the int8-trunk field kernel "
+                         "(ops/pallas/fused_mlp_int8.py) on a focused "
+                         "fused+auto sweep, merging rows (tagged "
+                         "field_dtype=int8) into the output JSON; use "
+                         "with --reuse_scene")
     args = ap.parse_args()
     if args.out is None:
         args.out = ("docs/fast_frontier.json" if args.scene == "spheres"
@@ -291,6 +297,18 @@ def main():
     exact_cfg = RenderConfig(n_samples=64, n_importance=64, perturb=0.0,
                              noise_std=0.0, white_back=True, test_time=True)
     packed = pack_model_params(params, nerf_cfg)
+    packed_field, field_dtype = packed, "bf16"
+    if args.int8_only:
+        # swap the survivor-eval kernel for the int8-trunk variant; the
+        # pack carries everything (render_rays_fast dispatches on it).
+        # The exact anchor below stays bf16 — agreement still means
+        # "vs the exact reference-algorithm render".
+        from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
+            default_calib_points, pack_model_params_int8)
+        calib_pts = default_calib_points(
+            (np.asarray(aabb[0]), np.asarray(aabb[1])))
+        packed_field = pack_model_params_int8(params, calib_pts, nerf_cfg)
+        field_dtype = "int8"
 
     @jax.jit
     def exact_frame(tiles):
@@ -339,7 +357,7 @@ def main():
                             (64, 12), (64, 16), (64, 32), (96, 12), (96, 16),
                             (128, 16), (128, 32))]
     sweep += [("pdf", 32, 16), ("pdf", 64, 16)]  # record: pdf loses to topk
-    if args.fused_only or args.auto_only or args.ratio_only:
+    if args.fused_only or args.auto_only or args.ratio_only or args.int8_only:
         sweep = []
     for sel, c, k in sweep:
         @jax.jit
@@ -348,7 +366,7 @@ def main():
                 return render_rays_fast(
                     params, proxy, t, n_candidates=c, n_keep=k,
                     nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
-                    select=sel, packed_params=packed)["rgb_fine"]
+                    select=sel, packed_params=packed_field)["rgb_fine"]
             rgb = jax.lax.map(f, tiles)
             return rgb, jnp.sum(rgb)
 
@@ -420,6 +438,17 @@ def main():
             (64, 16, None, None, "mid", "ratio"),
             (96, 16, None, None, "mid", "ratio"),
         ]
+    if args.int8_only:
+        # bf16 twins of every row exist in the merged JSON already; the
+        # question here is purely "what does the int8 trunk change"
+        fused_sweep = [
+            (32, 8, None, None, "mid", "delta"),
+            (32, 12, None, None, "mid", "ratio"),
+            (32, 16, None, None, "mid", "delta"),
+            (32, 16, None, None, "mid", "ratio"),
+            (32, 24, None, None, "mid", "ratio"),
+            (64, 16, None, None, "mid", "ratio"),
+        ]
     if args.auto_only:
         fused_sweep = []
     results["fused_adaptive_configs"] = []
@@ -431,7 +460,7 @@ def main():
                 return render_rays_fast(
                     params, proxy, t, n_candidates=c, n_keep=k,
                     nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
-                    select="pdf", packed_params=packed,
+                    select="pdf", packed_params=packed_field,
                     packed_proxy=packed_proxy, adaptive=adapt,
                     cull=cull, placement=placement,
                     quadrature=quad)["rgb_fine"]
@@ -447,7 +476,8 @@ def main():
         row = {"select": "pdf+fused-march", "n_candidates": c, "n_keep": k,
                "adaptive": list(adapt) if adapt else None,
                "cull": cull, "avg_k": avg_k, "placement": placement,
-               "quadrature": quad, "rays_per_sec": rate,
+               "quadrature": quad, "field_dtype": field_dtype,
+               "rays_per_sec": rate,
                "agreement_db_vs_exact": float(np.mean(agree)),
                "agreement_min_db": float(np.min(agree)),
                "agreement_per_pose": agree,
@@ -459,6 +489,8 @@ def main():
               else " mid" if placement == "mid" else "")
         if quad == "ratio":
             ad += " ratio"
+        if field_dtype == "int8":
+            ad += " i8"
         print(f"fused C={c:3d} K={k:3d}{ad:12s} (avg {avg_k:5.1f}): "
               f"{rate/1e6:6.2f} M rays/s  "
               f"agree mean {row['agreement_db_vs_exact']:6.2f} / "
@@ -499,10 +531,17 @@ def main():
     ]
     if args.ratio_only:
         auto_sweep = [r for r in auto_sweep if r[5] == "ratio"]
+    if args.int8_only:
+        auto_sweep = [
+            (12, 1.2, 8, "mid", "auto", "ratio"),
+            (16, 1.2, 8, "mid", "auto", "ratio"),
+            (16, 1.2, 16, "mid", "auto", "delta"),
+            (24, 1.2, 8, "mid", "auto", "ratio"),
+        ]
     for k, margin, prepass_c, placement, eps, quad in auto_sweep:
         auto_render = make_auto_cull_renderer(
             params, proxy, n_candidates=32, n_keep=k, nerf_cfg=nerf_cfg,
-            white_back=True, scene_aabb=aabb, packed_params=packed,
+            white_back=True, scene_aabb=aabb, packed_params=packed_field,
             packed_proxy=packed_proxy, margin=margin,
             prepass_candidates=prepass_c, placement=placement,
             opacity_eps=eps, quadrature=quad)
@@ -530,7 +569,8 @@ def main():
         row = {"select": "pdf+fused-march+auto-cull", "n_candidates": 32,
                "n_keep": k, "margin": margin, "prepass_candidates": prepass_c,
                "placement": placement, "opacity_eps": eps,
-               "quadrature": quad, "eps_per_pose": eps_used,
+               "quadrature": quad, "field_dtype": field_dtype,
+               "eps_per_pose": eps_used,
                "active_frac_per_pose": act,
                "rays_per_sec": rate,
                "agreement_db_vs_exact": float(np.mean(agree)),
@@ -549,7 +589,7 @@ def main():
               f"gt {row['psnr_vs_gt']:6.2f} dB", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    if args.ratio_only and os.path.exists(args.out):
+    if (args.ratio_only or args.int8_only) and os.path.exists(args.out):
         # append/refresh the measured rows inside the existing sweeps
         with open(args.out) as f:
             merged = json.load(f)
@@ -557,7 +597,8 @@ def main():
         def _key(row):
             return tuple(str(row.get(f)) for f in (
                 "select", "n_candidates", "n_keep", "adaptive", "cull",
-                "placement", "quadrature", "margin", "opacity_eps"))
+                "placement", "quadrature", "margin", "opacity_eps")
+            ) + (str(row.get("field_dtype") or "bf16"),)
 
         for field in ("fused_adaptive_configs", "auto_cull_configs"):
             fresh = {_key(r): r for r in results.get(field, [])}
