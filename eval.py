@@ -85,6 +85,16 @@ def get_opts(args=None):
                              "speed (docs/fast_frontier_cluster.json); "
                              "'edges' = the reference sample_pdf's "
                              "deterministic u=k/(K-1) endpoint placement")
+    parser.add_argument('--fast_field_dtype', type=str, default='bf16',
+                        choices=['bf16', 'int8'],
+                        help="fast-path survivor-eval trunk precision: "
+                             "'int8' runs the 8x256 trunk on the MXU's "
+                             "int8 path (ops/pallas/fused_mlp_int8.py, "
+                             "~2.4x the bf16 matmul chain; activation "
+                             "scales calibrated from the scene AABB at "
+                             "pack time). Quality cost measured in "
+                             "docs/int8_quality.json / the frontier "
+                             "field_dtype=int8 rows")
     parser.add_argument('--fast_quadrature', type=str, default='delta',
                         choices=['delta', 'ratio'],
                         help="fast-path alpha integration: 'delta' = "
@@ -361,6 +371,16 @@ def main(hparams):
                 print(f'saved distilled proxy: {proxy_path}', flush=True)
         print(f'scene AABB: {np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}',
               flush=True)
+        if hparams.fast_field_dtype == 'int8':
+            if fast_packed is None:
+                raise SystemExit('--fast_field_dtype int8 needs the fused '
+                                 'kernel topology (8x256, skips=(4,))')
+            from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
+                default_calib_points, pack_model_params_int8)
+            fast_packed = pack_model_params_int8(
+                params, default_calib_points((aabb[0], aabb[1])), nerf_cfg)
+            print('int8 trunk: activation scales calibrated from the scene '
+                  'AABB', flush=True)
         # fused proxy-march kernel: march + pdf selection in VMEM
         if (fast_packed is not None and hparams.fast_select == 'pdf'
                 and hparams.fast_keep % 2 == 0):

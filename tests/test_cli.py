@@ -296,6 +296,37 @@ def test_eval_cli_fast_renderer(workdir, scene_root):
         os.chdir(cwd)
 
 
+def test_eval_cli_fast_int8(workdir, scene_root):
+    """--fast_field_dtype int8: survivor eval through the int8-trunk kernel
+    (AABB-calibrated activation scales); full-frame PSNR stays finite."""
+    wd, _ = workdir
+    ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "smoke", "*.msgpack")))[-1]
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from eval import get_opts as eval_opts, main as eval_main
+        mean_psnr = eval_main(eval_opts([
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--split", "test",
+            "--img_wh", "40", "40",
+            "--N_samples", "24", "--N_importance", "8",
+            "--ckpt_path", ckpt,
+            "--scene_name", "sphere_fast_i8",
+            "--renderer", "fast",
+            "--fast_candidates", "24", "--fast_keep", "8",
+            "--fast_distill_steps", "20", "--fast_distill_batch", "2048",
+            "--fast_field_dtype", "int8",
+            "--compute_dtype", "float32",
+        ]))
+        assert mean_psnr is not None and np.isfinite(mean_psnr)
+        pngs = glob.glob(os.path.join(wd, "results", "blender",
+                                      "sphere_fast_i8", "*.png"))
+        assert len(pngs) == 2
+    finally:
+        os.chdir(cwd)
+
+
 def test_eval_cli_fast_auto_cull(workdir, scene_root):
     """--fast_cull auto: frame-global empty-ray culling on the fused path.
 
