@@ -173,7 +173,9 @@ def worker(partial_path: str) -> None:
     packed_proxy = pack_proxy_params(proxy)
     aabb = ([-1.3, -1.3, -1.3], [1.3, 1.3, 1.3])  # lego-scale occupied box
 
-    def time_fast(n_candidates, n_keep, cull=None):
+    def time_fast(n_candidates, n_keep, cull=None, field_pack=None):
+        pk = packed if field_pack is None else field_pack
+
         @jax.jit
         def fast_frame(params, proxy, tiles):
             def tile_fn(t):
@@ -181,7 +183,7 @@ def worker(partial_path: str) -> None:
                                        n_candidates=n_candidates, n_keep=n_keep,
                                        nerf_cfg=nerf_cfg, white_back=True,
                                        scene_aabb=aabb, select="pdf",
-                                       packed_params=packed,
+                                       packed_params=pk,
                                        packed_proxy=packed_proxy, cull=cull)
                 return out["rgb_fine"]
             return jnp.sum(jax.lax.map(tile_fn, tiles))
@@ -204,13 +206,25 @@ def worker(partial_path: str) -> None:
     fast_cull, fast_cull_lat = time_fast(32, 16, cull=0.65)
     sec["fast_path_fixed_cull065_rays_per_sec"] = round(fast_cull, 1)
     sec["fast_p50_frame_latency_culled_s"] = round(fast_cull_lat, 4)
+    _write_partial(partial_path, out)
+    # int8-trunk survivor eval (ops/pallas/fused_mlp_int8.py): same C32/K16
+    # pipeline with the field matmuls on the MXU int8 path
+    from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
+        default_calib_points, pack_model_params_int8)
+    packed_i8 = pack_model_params_int8(
+        params, default_calib_points(aabb), nerf_cfg)
+    fast_i8, fast_i8_lat = time_fast(32, 16, field_pack=packed_i8)
+    sec["fast_path_int8_conservative_rays_per_sec"] = round(fast_i8, 1)
+    sec["fast_p50_frame_latency_int8_conservative_s"] = round(fast_i8_lat, 4)
     sec["fast_path_note"] = (
         "proxy-culled renderer (render/fast.py): fused Pallas proxy-march "
         "kernel + fused Pallas model eval. This bench measures THROUGHPUT "
         "ONLY (random-init weights, undistilled proxy): conservative=C32/"
-        "K16, aggressive=C32/K8, culled=C32/K16/cull0.65. No quality is "
+        "K16, aggressive=C32/K8, culled=C32/K16/cull0.65, int8=C32/K16 "
+        "with the int8-trunk field kernel. No quality is "
         "measured here; per-config agreement-vs-exact numbers live in "
-        "docs/fast_frontier.json (+ BASELINE.md tables), produced by "
+        "docs/fast_frontier.json (+ BASELINE.md tables incl. "
+        "field_dtype=int8 rows), produced by "
         "tools/fast_frontier.py on converged scenes over 8 held-out poses")
     _write_partial(partial_path, out)
 
