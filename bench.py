@@ -162,6 +162,22 @@ def worker(partial_path: str) -> None:
     sec["exact_jnp_rays_per_sec"] = round(jnp_rays_per_sec, 1)
     _write_partial(partial_path, out)
 
+    # int8-trunk full-frame row: the SAME coarse->pdf->fine pipeline with
+    # the 8x256 trunk matmuls on the MXU int8 path (render/fused.py picks
+    # the kernel by pack layout). Throughput only — quantization quality
+    # is measured by tools/int8_quality.py on a converged scene, not here.
+    from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
+        default_calib_points as _calib_i8,
+        pack_model_params_int8 as _pack_i8)
+    # bench rays span o=(0,0,4) + t*d, t in [2,6], |d|=1 -> this AABB
+    packed_i8_frame = _pack_i8(
+        params, _calib_i8(([-6.0, -6.0, -2.0], [6.0, 6.0, 10.0])), nerf_cfg)
+    dt_i8 = time_frames(render_frame, packed_i8_frame)
+    i8_rays_per_sec = n_rays_frame * n_iters / dt_i8 / n_chips
+    sec["exact_pipeline_int8_rays_per_sec"] = round(i8_rays_per_sec, 1)
+    sec["p50_full_frame_latency_int8_s"] = round(dt_i8 / n_iters, 4)
+    _write_partial(partial_path, out)
+
     # secondary: the proxy-culled fast path (render/fast.py) — throughput
     # measured HERE on random-init weights; the quoted dB agreement figures
     # are NOT measured in this bench — they come from the frontier protocol

@@ -87,7 +87,9 @@ def get_opts(args=None):
                              "deterministic u=k/(K-1) endpoint placement")
     parser.add_argument('--fast_field_dtype', type=str, default='bf16',
                         choices=['bf16', 'int8'],
-                        help="fast-path survivor-eval trunk precision: "
+                        help="field trunk precision for --renderer fast "
+                             "(survivor eval) and --renderer fused "
+                             "(full-frame quantized eval): "
                              "'int8' runs the 8x256 trunk on the MXU's "
                              "int8 path (ops/pallas/fused_mlp_int8.py, "
                              "~2.4x the bf16 matmul chain; activation "
@@ -448,7 +450,33 @@ def main(hparams):
         from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
         from nerf_siren_tpu.render.fused import render_rays_fused
 
-        packed = pack_model_params(params, nerf_cfg)
+        if hparams.fast_field_dtype == 'int8':
+            # quantized full-frame eval: same coarse->pdf->fine pipeline,
+            # trunk matmuls on the MXU int8 path (render/fused.py dispatches
+            # by pack layout). Activation scales calibrated from the
+            # occupied-region AABB, like the fast path.
+            from nerf_siren_tpu.models.embedding import positional_encoding
+            from nerf_siren_tpu.models.nerf import apply_nerf
+            from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
+                default_calib_points, pack_model_params_int8)
+            from nerf_siren_tpu.render.fast import estimate_scene_aabb
+
+            model_key = 'fine' if 'fine' in params else 'coarse'
+
+            def sigma_fn(pts):
+                emb = positional_encoding(pts, 10)
+                return apply_nerf(params[model_key], emb, None,
+                                  cfg=nerf_cfg)[:, 0]
+
+            half = float(np.max(np.abs(dataset.bounds))) * 0.5
+            aabb = estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3)
+            packed = pack_model_params_int8(
+                params, default_calib_points((aabb[0], aabb[1])), nerf_cfg)
+            print(f'int8 trunk: scales calibrated from AABB '
+                  f'{np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}',
+                  flush=True)
+        else:
+            packed = pack_model_params(params, nerf_cfg)
 
         @jax.jit
         def render(params, rays):

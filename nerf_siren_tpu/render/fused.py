@@ -34,6 +34,19 @@ def _coords_t(oT8: jax.Array, dT8: jax.Array, z_vals: jax.Array) -> jax.Array:
     return xyzT.reshape(IN_ROWS, r * s)
 
 
+def _kernels_for(packed_field: Dict[str, Any]):
+    """(sigma, full) kernel pair by pack layout — an int8 pack
+    (fused_mlp_int8.pack_nerf_params_int8) carries quantized-weight keys
+    ('q0x'); callers opt into the MXU int8 trunk simply by packing with
+    pack_model_params_int8 (measured full-kernel 1.29x bf16 on the v5e,
+    132.7 vs 102.8 Mpts/s). Inference-only, not a parity surface."""
+    if "q0x" in packed_field:
+        from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
+            fused_full_t_int8, fused_sigma_t_int8)
+        return fused_sigma_t_int8, fused_full_t_int8
+    return fused_sigma_t, fused_full_t
+
+
 def render_rays_fused(
     packed: Dict[str, Any],
     rays: jax.Array,
@@ -64,10 +77,13 @@ def render_rays_fused(
         # read TILE_N dynamically: tests shrink it for interpreter runs
         return jnp.pad(xT, ((0, 0), (0, -xT.shape[1] % fused_mlp.TILE_N)))
 
+    sigma_coarse, _ = _kernels_for(packed["coarse"])
+    _, full_fine = _kernels_for(packed["fine"])
+
     # ---- coarse σ-only pass -> importance weights -------------------------
     z_vals = stratified_z_vals(near, far, cfg.n_samples, use_disp=cfg.use_disp)
     xyzT = pad_n(_coords_t(oT8, dT8, z_vals))
-    sig8 = fused_sigma_t(packed["coarse"], xyzT, depth=depth, skips=skips)
+    sig8 = sigma_coarse(packed["coarse"], xyzT, depth=depth, skips=skips)
     sigmas = sig8[SIGMA_ROW, : r * cfg.n_samples].reshape(r, cfg.n_samples)
     comp_c = composite(sigmas, z_vals, dir_norm)
 
@@ -82,7 +98,7 @@ def render_rays_fused(
     xyzT = pad_n(_coords_t(oT8, dT8, z_all))
     dirT = pad_n(jnp.broadcast_to(dT8[:, :, None],
                                   (IN_ROWS, r, s_all)).reshape(IN_ROWS, r * s_all))
-    out8 = fused_full_t(packed["fine"], xyzT, dirT, depth=depth, skips=skips)
+    out8 = full_fine(packed["fine"], xyzT, dirT, depth=depth, skips=skips)
     out8 = out8[:, : r * s_all]
     sig_f = out8[SIGMA_ROW].reshape(r, s_all)
     comp_f = composite(sig_f, z_all, dir_norm)
