@@ -17,6 +17,22 @@ outages surfaced), then checkpoints every completed metric to a partial
 file, so even a mid-run crash reports the metrics that DID land.  On
 permanent failure the supervisor still emits the one-line JSON with
 ``"value": null`` and an ``"error"`` field naming the cause.
+
+Round-4 hardening (the round-3 scoreboard was zeroed by the DRIVER's
+outer timeout SIGKILLing the tree while all partials sat in /tmp):
+
+- **Every completed metric immediately prints the merged best-so-far JSON
+  line to STDOUT** (worker stdout is inherited, not piped — nothing is
+  buffered in the supervisor). The caller that keeps only the tail of our
+  output still gets the last complete line, whatever kills us and
+  whenever.
+- The headline metric is front-loaded: on a healthy backend the first
+  JSON line lands right after the first compile (~1-2 min).
+- ``total_budget_s`` is 2250 s — well under the observed ~45 min outer
+  window, so OUR budget runs out (and the best partial line is printed)
+  before anyone else's does.
+- The merged partial is mirrored to ``docs/bench_latest.json`` so the
+  numbers land in a committable artifact, not just /tmp.
 """
 from __future__ import annotations
 
@@ -31,7 +47,11 @@ TARGET = 5e6
 PARTIAL_PATH = "/tmp/bench_partial.json"
 
 
-def _write_partial(path: str, data: dict) -> None:
+ARTIFACT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "docs", "bench_latest.json")
+
+
+def _write_partial(path: str, data: dict) -> dict:
     """Checkpoint metrics, MERGING with any partial left by a prior attempt.
 
     A retry that dies early must not regress coverage: attempt 1 may have
@@ -40,9 +60,12 @@ def _write_partial(path: str, data: dict) -> None:
     the supervisor's permanent-failure path reports whatever is on disk.
     Fresh measurements override stale ones key-by-key; missing keys keep
     the prior attempt's values.
+
+    Returns the merged record, and mirrors it to ``docs/bench_latest.json``
+    (the committable artifact — VERDICT r3 item 5).
     """
     if not path:
-        return
+        return data
     merged = data
     try:
         with open(path) as f:
@@ -54,10 +77,28 @@ def _write_partial(path: str, data: dict) -> None:
                                **data.get("secondary", {})}
     except (OSError, ValueError):
         pass
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(merged, f)
-    os.replace(tmp, path)
+    for dest in (path, ARTIFACT_PATH):
+        try:
+            tmp = dest + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(merged, f, indent=1)
+            os.replace(tmp, dest)
+        except OSError:
+            pass
+    return merged
+
+
+def _checkpoint(path: str, data: dict) -> None:
+    """Persist the partial AND stream the merged line to stdout NOW.
+
+    The round-3 postmortem: all partials were on disk in /tmp when the
+    driver's outer timeout SIGKILLed the process tree, and nothing had
+    reached stdout — scoreboard zeroed with 15 metrics measured.  Printing
+    the merged record after every metric means the tail of our stdout
+    always holds the best complete result so far.
+    """
+    merged = _write_partial(path, data)
+    print(json.dumps(merged), flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -155,12 +196,12 @@ def worker(partial_path: str) -> None:
     out["value"] = round(value, 1)
     out["vs_baseline"] = round(value / TARGET, 4)
     sec["p50_full_frame_latency_s"] = round(dt / n_iters, 4)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     dt_jnp = time_frames(render_frame_jnp, params)
     jnp_rays_per_sec = n_rays_frame * n_iters / dt_jnp / n_chips
     sec["exact_jnp_rays_per_sec"] = round(jnp_rays_per_sec, 1)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     # int8-trunk full-frame row: the SAME coarse->pdf->fine pipeline with
     # the 8x256 trunk matmuls on the MXU int8 path (render/fused.py picks
@@ -176,7 +217,7 @@ def worker(partial_path: str) -> None:
     i8_rays_per_sec = n_rays_frame * n_iters / dt_i8 / n_chips
     sec["exact_pipeline_int8_rays_per_sec"] = round(i8_rays_per_sec, 1)
     sec["p50_full_frame_latency_int8_s"] = round(dt_i8 / n_iters, 4)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     # secondary: the proxy-culled fast path (render/fast.py) — throughput
     # measured HERE on random-init weights; the quoted dB agreement figures
@@ -215,14 +256,14 @@ def worker(partial_path: str) -> None:
     fast_hi_q, fast_hi_q_lat = time_fast(32, 16)
     sec["fast_path_conservative_rays_per_sec"] = round(fast_hi_q, 1)
     sec["fast_p50_frame_latency_conservative_s"] = round(fast_hi_q_lat, 4)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
     fast_fast, fast_fast_lat = time_fast(32, 8)
     sec["fast_path_aggressive_rays_per_sec"] = round(fast_fast, 1)
     sec["fast_p50_frame_latency_aggressive_s"] = round(fast_fast_lat, 4)
     fast_cull, fast_cull_lat = time_fast(32, 16, cull=0.65)
     sec["fast_path_fixed_cull065_rays_per_sec"] = round(fast_cull, 1)
     sec["fast_p50_frame_latency_culled_s"] = round(fast_cull_lat, 4)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
     # int8-trunk survivor eval (ops/pallas/fused_mlp_int8.py): same C32/K16
     # pipeline with the field matmuls on the MXU int8 path
     from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
@@ -242,7 +283,7 @@ def worker(partial_path: str) -> None:
         "docs/fast_frontier.json (+ BASELINE.md tables incl. "
         "field_dtype=int8 rows), produced by "
         "tools/fast_frontier.py on converged scenes over 8 held-out poses")
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     # training-step time at the reference's headline recipe (batch 1024,
     # 64+128 samples; reference README reports 0.12 s/step on a 2080 Ti)
@@ -267,7 +308,7 @@ def worker(partial_path: str) -> None:
     sec["train_step_s_batch1024_64c128f"] = round(train_step_s, 4)
     sec["train_step_note"] = ("reference reports 0.12 s/step for the same "
                               "recipe on one RTX 2080 Ti (README.md:138-144)")
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     # fused Pallas training backend (ops/pallas/fused_mlp_train.py):
     # bf16 field fwd+bwd in VMEM; guarded so a kernel regression degrades
@@ -293,7 +334,7 @@ def worker(partial_path: str) -> None:
               file=sys.stderr, flush=True)
     sec["train_step_fused_backend_s"] = (round(fused_step_s, 4)
                                          if fused_step_s else None)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     # ---- BASELINE.md config 3: LLFF fern 504x378, NDC rays ---------------
     n_fern = 504 * 378
@@ -321,7 +362,7 @@ def worker(partial_path: str) -> None:
     fern_rays_per_sec = fern_tiles.shape[0] * chunk * n_iters / (
         time.perf_counter() - t0) / n_chips
     sec["cfg3_fern_ndc_rays_per_sec"] = round(fern_rays_per_sec, 1)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     # ---- BASELINE.md config 4: SIREN field + semantic steps ---------------
     siren_system = NeRFSystem(
@@ -338,7 +379,7 @@ def worker(partial_path: str) -> None:
     float(m["train/loss"])
     siren_step_s = (time.perf_counter() - t0) / 20
     sec["cfg4_siren_train_step_s"] = round(siren_step_s, 4)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     from nerf_siren_tpu.training.semantic_system import NeRF3DSystem
     sem_batch = {"rays": rays_np[:4096],
@@ -364,7 +405,7 @@ def worker(partial_path: str) -> None:
 
     sec["cfg4_semantic_pointnet_step_s_batch4096_cap8192"] = round(
         time_semantic("pointnet"), 4)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
     # conv3d (dense voxel-UNet) path — the variant the reference's own
     # train.sh invokes (models/ConvNetWork.py); guarded like fused-train
     try:
@@ -374,7 +415,7 @@ def worker(partial_path: str) -> None:
         print(f"# conv3d semantic bench skipped: {e!r}",
               file=sys.stderr, flush=True)
         sec["cfg4_semantic_conv3d_step_s_batch4096_cap8192"] = None
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     # ---- BASELINE.md config 5: EG3D triplane renderer (reference 256^2) ---
     from nerf_siren_tpu.training.eg3d_system import EG3DSystem
@@ -406,7 +447,7 @@ def worker(partial_path: str) -> None:
     float(m["train/loss"])
     eg3d_step_s = (time.perf_counter() - t0) / 20
     sec["cfg5_eg3d_train_step_s_batch1024_256sq_planes"] = round(eg3d_step_s, 4)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     # device-resident params: a render loop uploads weights once, not per
     # frame (host-resident params cost ~2 s/frame in H2D over the tunnel)
@@ -418,7 +459,7 @@ def worker(partial_path: str) -> None:
     float(np.sum(out_r["rgb_fine"][:8]))
     eg3d_rays_per_sec = 65536 / (time.perf_counter() - t0) / n_chips
     sec["cfg5_eg3d_render_rays_per_sec"] = round(eg3d_rays_per_sec, 1)
-    _write_partial(partial_path, out)
+    _checkpoint(partial_path, out)
 
     # EG3D proxy-culled fast renderer (render/triplane_fast.py): K plane
     # samples/ray instead of 64+64. Throughput only — agreement quality is
@@ -439,24 +480,13 @@ def worker(partial_path: str) -> None:
         float(jnp.sum(out_r["rgb_fine"][:4]))
     eg3d_fast_rays_per_sec = 3 * 65536 / (time.perf_counter() - t0) / n_chips
     sec["cfg5_eg3d_fast_render_rays_per_sec"] = round(eg3d_fast_rays_per_sec, 1)
-    _write_partial(partial_path, out)
-
-    print(json.dumps(out), flush=True)
+    out["complete"] = True  # tells the supervisor every metric landed
+    _checkpoint(partial_path, out)
 
 
 # --------------------------------------------------------------------------
 # Supervisor: bounded retries, fresh subprocess per attempt
 # --------------------------------------------------------------------------
-
-def _extract_json_line(text: str) -> dict | None:
-    for line in reversed(text.splitlines()):
-        line = line.strip()
-        if line.startswith('{"metric"'):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-    return None
 
 
 def _probe_device(timeout_s: float) -> tuple[bool, str]:
@@ -493,16 +523,28 @@ def _probe_device(timeout_s: float) -> tuple[bool, str]:
     return False, f"device probe rc {r.returncode}: {tail[-300:]}"
 
 
+def _read_partial() -> dict | None:
+    try:
+        with open(PARTIAL_PATH) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def supervisor() -> int:
     max_attempts = 12          # cheap probes make many attempts affordable
-    backoff_s = 120
+    backoff_s = 90
     # Cold-but-healthy backend init was MEASURED at ~190 s on this tunnel
     # (r3, fresh process after an idle stretch); a 150 s probe misreads
     # that as a wedge and burns half the budget before the patient
     # fallback. 240 s covers the measured cold init with margin.
     probe_timeout_s = 240
-    attempt_timeout_s = 1800
-    total_budget_s = 4200  # hard wall for the whole bench
+    attempt_timeout_s = 1500
+    # Hard wall for the whole bench. MUST stay well under the driver's
+    # outer window (r3 measured it at ≲45 min): the r3 scoreboard was
+    # zeroed because our 4200 s internal budget outlived the driver's
+    # patience and the SIGKILL arrived mid-attempt.
+    total_budget_s = 2250
     start = time.monotonic()
     last_err = "unknown"
     full_attempts = 0
@@ -542,51 +584,45 @@ def supervisor() -> int:
         full_attempts += 1
         print(f"# bench attempt {attempt}/{max_attempts} (probe ok)",
               file=sys.stderr, flush=True)
+        # Worker stdout is INHERITED: each metric's merged JSON line streams
+        # straight to our caller the moment it is measured. Success/failure
+        # is judged from the partial file, not from captured output.
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",
              PARTIAL_PATH],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            stdout=None, stderr=None,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         try:
-            stdout, stderr = proc.communicate(
-                timeout=min(attempt_timeout_s, remaining))
+            proc.communicate(timeout=min(attempt_timeout_s, remaining))
         except subprocess.TimeoutExpired:
             # graceful first — SIGKILL mid-TPU-compile can wedge the tunnel
             proc.send_signal(2)  # SIGINT
             try:
-                stdout, stderr = proc.communicate(timeout=30)
+                proc.communicate(timeout=30)
             except subprocess.TimeoutExpired:
                 proc.kill()
-                stdout, stderr = proc.communicate()
+                proc.communicate()
             last_err = f"attempt {attempt}: timed out after {attempt_timeout_s}s"
             print(f"# {last_err}", file=sys.stderr, flush=True)
             continue
 
-        if stderr:
-            sys.stderr.write(stderr[-4000:])
-            sys.stderr.flush()
+        partial = _read_partial()
         if proc.returncode == 0:
-            result = _extract_json_line(stdout)
-            if result is not None and result.get("value") is not None:
-                print(json.dumps(result), flush=True)
+            if partial is not None and partial.get("complete"):
+                print(json.dumps(partial), flush=True)
                 return 0
-            last_err = f"attempt {attempt}: rc 0 but no metric line in output"
+            last_err = f"attempt {attempt}: rc 0 but incomplete partial"
         else:
-            tail = "\n".join(stderr.strip().splitlines()[-3:])
-            last_err = f"attempt {attempt}: rc {proc.returncode}: {tail[-500:]}"
-        print(f"# attempt {attempt} failed", file=sys.stderr, flush=True)
+            last_err = f"attempt {attempt}: rc {proc.returncode}"
+        print(f"# attempt {attempt} failed: {last_err}",
+              file=sys.stderr, flush=True)
         if attempt < max_attempts:
             time.sleep(min(backoff_s, max(0.0, total_budget_s -
                                           (time.monotonic() - start))))
 
     # Permanent failure: report partial metrics if the headline landed,
     # else the null-value record with the cause — never a silent rc:1.
-    partial = None
-    try:
-        with open(PARTIAL_PATH) as f:
-            partial = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        pass
+    partial = _read_partial()
     if partial is not None and partial.get("value") is not None:
         partial.setdefault("secondary", {})
         partial["error"] = f"incomplete run (partial metrics only): {last_err}"
