@@ -323,6 +323,55 @@ def test_auto_cull_no_empty_rays_keeps_cull_nothing(proxy):
                                rtol=0, atol=1e-6)
 
 
+def test_auto_cull_dense_frame_bypass(proxy):
+    """Round-4 (VERDICT r3 item 4): on a dense frame the steady-state auto
+    renderer must take the PLAIN path — no prepass/sort/reassembly — with
+    output still identical to render_rays_fast, and must return to the
+    culled program when the measured foreground collapses."""
+    from nerf_siren_tpu.render.fast import make_auto_cull_renderer
+
+    cfg = NeRFConfig()
+    params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+    # fully-opaque field -> every block foreground -> act frac 1.0
+    params["fine"]["sigma"]["bias"] = params["fine"]["sigma"]["bias"] + 50.0
+    packed_params = pack_model_params(params, cfg)
+    packed_proxy = pack_proxy_params(proxy)
+    r = TILE_R + 1
+    rays = _rays(r, seed=7)
+    common = dict(n_candidates=C, n_keep=K, nerf_cfg=cfg, white_back=True,
+                  packed_params=packed_params, packed_proxy=packed_proxy)
+    plain_ref = render_rays_fast(params, proxy, rays, select="pdf", **common)
+
+    auto = make_auto_cull_renderer(params, proxy, **common)
+    first = auto(rays)                        # full program (calibration)
+    assert auto.last_plain is False
+    second = auto(rays)                       # dense -> plain bypass
+    assert auto.last_plain is True
+    assert auto.last_active_frac == 1.0
+    for key in ("rgb_fine", "depth_fine", "opacity_fine"):
+        np.testing.assert_allclose(np.asarray(second[key]),
+                                   np.asarray(plain_ref[key]),
+                                   rtol=0, atol=1e-6)
+    third = auto(rays)                        # budget measured from FIELD
+    assert auto.last_plain is True            # opacity keeps it plain
+    np.testing.assert_allclose(np.asarray(third["rgb_fine"]),
+                               np.asarray(plain_ref["rgb_fine"]),
+                               rtol=0, atol=1e-6)
+
+    # sparse scene: an impossible per-ray field (sigma pushed far negative)
+    # must leave plain mode once the plain frame measures zero foreground
+    params_sp = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+    params_sp["fine"]["sigma"]["bias"] = (
+        params_sp["fine"]["sigma"]["bias"] - 50.0)
+    auto_sp = make_auto_cull_renderer(
+        params_sp, proxy, opacity_eps=0.99, **{
+            **common, "packed_params": pack_model_params(params_sp, cfg)})
+    auto_sp(rays)                             # full frame: prepass n_fg ~ 0
+    auto_sp(rays)                             # minimum-bucket culled frame
+    assert auto_sp.last_plain is False
+    assert auto_sp.last_active_frac < 0.65    # below PLAIN_EXIT: stays culled
+
+
 def test_march_density_aux_matches_jnp(proxy):
     """proxy_march_select(return_density=True): aux rows 0..K-1 must match
     sample_pdf's normalized bin density and row K the placement CDF's
