@@ -209,6 +209,156 @@ def main(hparams):
         params['fine'] = load_ckpt(init_nerf(jax.random.PRNGKey(1), nerf_cfg),
                                    hparams.ckpt_path, 'nerf_fine')
 
+    def field_geometry():
+        """Checkpoint sigma field + search box + occupied-AABB estimator.
+
+        Shared by the fast and fused-int8 branches (ADVICE r3: the two
+        copies had started to diverge). The 10 positional-encoding freqs
+        are the reference embedding config (reference models/nerf.py:4-38).
+        """
+        from nerf_siren_tpu.models.embedding import positional_encoding
+        from nerf_siren_tpu.models.nerf import apply_nerf
+        from nerf_siren_tpu.render.fast import estimate_scene_aabb
+
+        model_key = 'fine' if 'fine' in params else 'coarse'
+
+        def sigma_fn(pts):
+            emb = positional_encoding(pts, 10)
+            return apply_nerf(params[model_key], emb, None,
+                              cfg=nerf_cfg)[:, 0]
+
+        half = float(np.max(np.abs(dataset.bounds))) * 0.5
+        return model_key, sigma_fn, half, (
+            lambda: estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3))
+
+    def ray_volume_calib_points(aabb, n=65536):
+        """int8 calibration points covering the FULL sampling volume.
+
+        render_rays_fused evaluates every stratified sample across
+        [near, far] — unlike the fast path, which only evaluates
+        proxy-selected survivors near the occupied region — so activation
+        scales calibrated from the tight occupied AABB saturate the
+        raw-coordinate requant on empty-space samples and distort the
+        coarse importance distribution (ADVICE r3, medium). Mix stratified
+        samples along REAL dataset rays (the exact distribution the kernel
+        will see) with uniform occupied-AABB points (where the numerics
+        matter most).
+        """
+        rng_cal = np.random.default_rng(0)
+        rays_cal = np.asarray(dataset[0]['rays'], np.float32)
+        sel = rng_cal.choice(rays_cal.shape[0],
+                             min(8192, rays_cal.shape[0]), replace=False)
+        o, d = rays_cal[sel, 0:3], rays_cal[sel, 3:6]
+        near, far = rays_cal[sel, 6:7], rays_cal[sel, 7:8]
+        t = rng_cal.uniform(0.0, 1.0, (sel.size, 8, 1)).astype(np.float32)
+        z = near[:, None] + (far - near)[:, None] * t
+        ray_pts = (o[:, None] + d[:, None] * z).reshape(-1, 3)
+        from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
+            default_calib_points)
+        box_pts = np.asarray(default_calib_points(aabb, n=n // 2))
+        return jnp.asarray(np.concatenate([ray_pts, box_pts]))
+
+    def setup_fast_proxy():
+        """Density proxy + kernel packs for the proxy-culled fast renderer.
+
+        Shared by --renderer fast and the --mode d3 fast survivor path.
+        Returns (model_key, proxy, aabb, fast_packed, fast_packed_proxy).
+        """
+        from nerf_siren_tpu.render.fast import distill_proxy
+
+        model_key, sigma_fn, half, estimate_aabb = field_geometry()
+        # fused full-model eval needs the reference 8x256 topology
+        fast_packed = None
+        fast_packed_proxy = None
+        if nerf_cfg.width % 128 == 0 and nerf_cfg.skips == (4,):
+            from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
+            fast_packed = pack_model_params(params, nerf_cfg)
+
+        # proxy persistence: distillation costs ~500 Adam steps; amortize it
+        # across eval invocations by caching the proxy pytree + AABB beside
+        # the checkpoint, keyed by the checkpoint's content hash
+        import hashlib
+        proxy_path = hparams.fast_proxy_path
+        if proxy_path is None:
+            proxy_path = hparams.ckpt_path + '.proxy.msgpack'
+        with open(hparams.ckpt_path, 'rb') as f:
+            ckpt_sha = hashlib.sha256(f.read()).digest()
+        proxy = aabb = None
+        # checkpoints trained with --train_backend culled/culled_fused carry
+        # their ONLINE placement proxy under the 'proxy' prefix
+        # (training/system.py init_params): reuse it — it tracked the final
+        # field with the same asymmetric objective distillation uses, so no
+        # distillation pass is needed at all. An explicit --fast_proxy_path
+        # opts back into the distillation cache.
+        if hparams.fast_proxy_path is None:
+            from nerf_siren_tpu.training.checkpoints import (
+                extract_model_state, load_checkpoint)
+            try:
+                trained = extract_model_state(
+                    load_checkpoint(hparams.ckpt_path), 'proxy')
+            except Exception:
+                trained = None
+            if trained is not None:
+                proxy = jax.tree_util.tree_map(jnp.asarray, trained)
+                aabb = estimate_aabb()
+                print('reusing the online culled-training proxy from the '
+                      'checkpoint (no distillation)', flush=True)
+        if proxy is None and proxy_path != 'none' and os.path.exists(proxy_path):
+            from nerf_siren_tpu.training.checkpoints import load_checkpoint
+            try:
+                blob = load_checkpoint(proxy_path)
+                meta = blob['meta']
+                if (bytes(np.asarray(meta['ckpt_sha'], np.uint8)) == ckpt_sha
+                        and int(meta['distill_steps']) == hparams.fast_distill_steps
+                        and int(meta['distill_batch']) == hparams.fast_distill_batch):
+                    proxy = jax.tree_util.tree_map(jnp.asarray, blob['proxy'])
+                    aabb = (np.asarray(blob['aabb'][0]),
+                            np.asarray(blob['aabb'][1]))
+                    print(f'reusing distilled proxy: {proxy_path}', flush=True)
+                else:
+                    print(f'proxy cache stale (checkpoint or distill config '
+                          f'changed), re-distilling: {proxy_path}', flush=True)
+            except Exception as e:
+                print(f'ignoring unreadable proxy cache {proxy_path}: {e!r}',
+                      flush=True)
+        if proxy is None:
+            print('distilling density proxy ...', flush=True)
+            proxy = distill_proxy(sigma_fn, [-half] * 3, [half] * 3,
+                                  jax.random.PRNGKey(7),
+                                  steps=hparams.fast_distill_steps,
+                                  batch=hparams.fast_distill_batch)
+            aabb = estimate_aabb()
+            if proxy_path != 'none':
+                from nerf_siren_tpu.training.checkpoints import save_checkpoint
+                save_checkpoint(proxy_path, {
+                    'proxy': proxy,
+                    'aabb': np.stack([np.asarray(aabb[0], np.float32),
+                                      np.asarray(aabb[1], np.float32)]),
+                    'meta': {
+                        'ckpt_sha': np.frombuffer(ckpt_sha, np.uint8).copy(),
+                        'distill_steps': np.asarray(hparams.fast_distill_steps),
+                        'distill_batch': np.asarray(hparams.fast_distill_batch),
+                    }})
+                print(f'saved distilled proxy: {proxy_path}', flush=True)
+        print(f'scene AABB: {np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}',
+              flush=True)
+        if hparams.fast_field_dtype == 'int8':
+            if fast_packed is None:
+                raise SystemExit('--fast_field_dtype int8 needs the fused '
+                                 'kernel topology (8x256, skips=(4,))')
+            from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
+                default_calib_points, pack_model_params_int8)
+            fast_packed = pack_model_params_int8(
+                params, default_calib_points((aabb[0], aabb[1])), nerf_cfg)
+            print('int8 trunk: activation scales calibrated from the scene '
+                  'AABB', flush=True)
+        # fused proxy-march kernel: march + pdf selection in VMEM
+        if (fast_packed is not None and hparams.fast_select == 'pdf'
+                and hparams.fast_keep % 2 == 0):
+            from nerf_siren_tpu.ops.pallas.proxy_march import pack_proxy_params
+            fast_packed_proxy = pack_proxy_params(proxy)
+        return model_key, proxy, aabb, fast_packed, fast_packed_proxy
+
     if hparams.renderer == 'fused' and not render_cfg.test_time:
         # fused kernel needs the sigma-only test_time coarse pass; with
         # N_importance == 0 fall back LOUDLY instead of silently changing
@@ -220,14 +370,16 @@ def main(hparams):
 
     if hparams.mode == 'd3':
         # semantic evaluation (reference eval.py:122-150): points model by
-        # prefix, exact render through render_rays_3d; class maps written in
-        # the frame loop below
-        if hparams.renderer not in ('exact', 'fused'):
-            # same loud-fallback policy as the fused/N_importance case above:
-            # never silently change the user's renderer choice
-            print(f'NOTE: --mode d3 always renders through the exact '
-                  f'render_rays_3d path; ignoring --renderer '
-                  f'{hparams.renderer}', flush=True)
+        # prefix; exact render through render_rays_3d, or (--renderer fast)
+        # the proxy-culled survivor path with the cls head composited over
+        # the SAME K survivors the rgb composite evaluates (VERDICT r3
+        # item 9); class maps written in the frame loop below
+        if hparams.renderer == 'fused':
+            # the fused kernel has no cls head; exact is value-identical
+            print('NOTE: --mode d3 renders through the exact '
+                  'render_rays_3d path (--renderer fused has no semantic '
+                  'head); pass --renderer fast for the survivor path',
+                  flush=True)
         from nerf_siren_tpu.render.rendering_3d import render_rays_3d
 
         # class count must match the checkpoint's classifier head exactly:
@@ -271,123 +423,83 @@ def main(hparams):
                           compute_dtype=compute_dtype,
                           cls_threshold=hparams.cls_threshold)
 
-        @jax.jit
-        def render(params, rays):
-            n = rays.shape[0]
-            chunk = min(hparams.chunk, n)
-            n_tiles = -(-n // chunk)
-            tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
-            tiles = tiles.reshape(n_tiles, chunk, 8)
-            out = jax.lax.map(
-                lambda t: render_rays_3d(params, t, render_cfg, None,
-                                         nerf_cfg=nerf_cfg, **sem_kwargs),
-                tiles)
-            return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
-                    for k, v in out.items()}
+        if hparams.renderer == 'fast':
+            # fast survivor path: render rgb/σ with the proxy-culled
+            # renderer and composite the cls head over its K survivor
+            # samples via semantic_from_weights — the same weight-masked
+            # point-cloud semantics as the exact path (reference
+            # models/rendering.py:354-379), evaluated only where the fast
+            # path already evaluated the field
+            from nerf_siren_tpu.render.fast import render_rays_fast
+            from nerf_siren_tpu.render.rendering_3d import (
+                semantic_from_weights)
+
+            if hparams.fast_cull is not None or hparams.fast_adaptive:
+                raise SystemExit('--mode d3 --renderer fast does not '
+                                 'support --fast_cull/--fast_adaptive '
+                                 '(the cls head needs every ray\'s '
+                                 'survivor samples)')
+            model_key, proxy, aabb, fast_packed, fast_packed_proxy = \
+                setup_fast_proxy()
+            threshold = ((0.5 if render_cfg.test_time else 0.0)
+                         if hparams.cls_threshold is None
+                         else hparams.cls_threshold)
+
+            @jax.jit
+            def render(params, rays):
+                n = rays.shape[0]
+                chunk = min(hparams.chunk, n)
+                n_tiles = -(-n // chunk)
+                tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
+                tiles = tiles.reshape(n_tiles, chunk, 8)
+
+                def tile_fn(t):
+                    out = render_rays_fast(
+                        params, proxy, t,
+                        n_candidates=hparams.fast_candidates,
+                        n_keep=hparams.fast_keep, nerf_cfg=nerf_cfg,
+                        model=model_key, white_back=dataset.white_back,
+                        compute_dtype=compute_dtype, scene_aabb=aabb,
+                        select=hparams.fast_select,
+                        packed_params=fast_packed,
+                        packed_proxy=fast_packed_proxy,
+                        placement=hparams.fast_placement,
+                        quadrature=hparams.fast_quadrature,
+                        return_samples=True)
+                    z_s = out.pop('z_samples')
+                    xyz = (t[:, None, 0:3]
+                           + t[:, None, 3:6] * z_s[..., None])
+                    out[f'cls_{model_key}'] = semantic_from_weights(
+                        params['points'], xyz, out.pop('rgb_samples'),
+                        out.pop('w_samples'),
+                        n_classes=hparams.n_classes, threshold=threshold,
+                        point_capacity=hparams.point_capacity,
+                        points_apply=points_apply)
+                    return out
+
+                out = jax.lax.map(tile_fn, tiles)
+                return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+                        for k, v in out.items()}
+        else:
+            @jax.jit
+            def render(params, rays):
+                n = rays.shape[0]
+                chunk = min(hparams.chunk, n)
+                n_tiles = -(-n // chunk)
+                tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
+                tiles = tiles.reshape(n_tiles, chunk, 8)
+                out = jax.lax.map(
+                    lambda t: render_rays_3d(params, t, render_cfg, None,
+                                             nerf_cfg=nerf_cfg, **sem_kwargs),
+                    tiles)
+                return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+                        for k, v in out.items()}
+
     elif hparams.renderer == 'fast':
-        from nerf_siren_tpu.models.embedding import positional_encoding
-        from nerf_siren_tpu.models.nerf import apply_nerf
-        from nerf_siren_tpu.render.fast import (
-            distill_proxy, estimate_scene_aabb, render_rays_fast)
+        from nerf_siren_tpu.render.fast import render_rays_fast
 
-        model_key = 'fine' if 'fine' in params else 'coarse'
-        # fused full-model eval needs the reference 8x256 topology
-        fast_packed = None
-        fast_packed_proxy = None
-        if nerf_cfg.width % 128 == 0 and nerf_cfg.skips == (4,):
-            from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
-            fast_packed = pack_model_params(params, nerf_cfg)
-
-        def sigma_fn(pts):
-            emb = positional_encoding(pts, 10)
-            return apply_nerf(params[model_key], emb, None, cfg=nerf_cfg)[:, 0]
-
-        # search volume from the dataset's depth bounds around the origin
-        half = float(np.max(np.abs(dataset.bounds))) * 0.5
-
-        # proxy persistence: distillation costs ~500 Adam steps; amortize it
-        # across eval invocations by caching the proxy pytree + AABB beside
-        # the checkpoint, keyed by the checkpoint's content hash
-        import hashlib
-        proxy_path = hparams.fast_proxy_path
-        if proxy_path is None:
-            proxy_path = hparams.ckpt_path + '.proxy.msgpack'
-        with open(hparams.ckpt_path, 'rb') as f:
-            ckpt_sha = hashlib.sha256(f.read()).digest()
-        proxy = aabb = None
-        # checkpoints trained with --train_backend culled/culled_fused carry
-        # their ONLINE placement proxy under the 'proxy' prefix
-        # (training/system.py init_params): reuse it — it tracked the final
-        # field with the same asymmetric objective distillation uses, so no
-        # distillation pass is needed at all. An explicit --fast_proxy_path
-        # opts back into the distillation cache.
-        if hparams.fast_proxy_path is None:
-            from nerf_siren_tpu.training.checkpoints import (
-                extract_model_state, load_checkpoint)
-            try:
-                trained = extract_model_state(
-                    load_checkpoint(hparams.ckpt_path), 'proxy')
-            except Exception:
-                trained = None
-            if trained is not None:
-                proxy = jax.tree_util.tree_map(jnp.asarray, trained)
-                aabb = estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3)
-                print('reusing the online culled-training proxy from the '
-                      'checkpoint (no distillation)', flush=True)
-        if proxy is None and proxy_path != 'none' and os.path.exists(proxy_path):
-            from nerf_siren_tpu.training.checkpoints import load_checkpoint
-            try:
-                blob = load_checkpoint(proxy_path)
-                meta = blob['meta']
-                if (bytes(np.asarray(meta['ckpt_sha'], np.uint8)) == ckpt_sha
-                        and int(meta['distill_steps']) == hparams.fast_distill_steps
-                        and int(meta['distill_batch']) == hparams.fast_distill_batch):
-                    proxy = jax.tree_util.tree_map(jnp.asarray, blob['proxy'])
-                    aabb = (np.asarray(blob['aabb'][0]),
-                            np.asarray(blob['aabb'][1]))
-                    print(f'reusing distilled proxy: {proxy_path}', flush=True)
-                else:
-                    print(f'proxy cache stale (checkpoint or distill config '
-                          f'changed), re-distilling: {proxy_path}', flush=True)
-            except Exception as e:
-                print(f'ignoring unreadable proxy cache {proxy_path}: {e!r}',
-                      flush=True)
-        if proxy is None:
-            print('distilling density proxy ...', flush=True)
-            proxy = distill_proxy(sigma_fn, [-half] * 3, [half] * 3,
-                                  jax.random.PRNGKey(7),
-                                  steps=hparams.fast_distill_steps,
-                                  batch=hparams.fast_distill_batch)
-            aabb = estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3)
-            if proxy_path != 'none':
-                from nerf_siren_tpu.training.checkpoints import save_checkpoint
-                save_checkpoint(proxy_path, {
-                    'proxy': proxy,
-                    'aabb': np.stack([np.asarray(aabb[0], np.float32),
-                                      np.asarray(aabb[1], np.float32)]),
-                    'meta': {
-                        'ckpt_sha': np.frombuffer(ckpt_sha, np.uint8).copy(),
-                        'distill_steps': np.asarray(hparams.fast_distill_steps),
-                        'distill_batch': np.asarray(hparams.fast_distill_batch),
-                    }})
-                print(f'saved distilled proxy: {proxy_path}', flush=True)
-        print(f'scene AABB: {np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}',
-              flush=True)
-        if hparams.fast_field_dtype == 'int8':
-            if fast_packed is None:
-                raise SystemExit('--fast_field_dtype int8 needs the fused '
-                                 'kernel topology (8x256, skips=(4,))')
-            from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
-                default_calib_points, pack_model_params_int8)
-            fast_packed = pack_model_params_int8(
-                params, default_calib_points((aabb[0], aabb[1])), nerf_cfg)
-            print('int8 trunk: activation scales calibrated from the scene '
-                  'AABB', flush=True)
-        # fused proxy-march kernel: march + pdf selection in VMEM
-        if (fast_packed is not None and hparams.fast_select == 'pdf'
-                and hparams.fast_keep % 2 == 0):
-            from nerf_siren_tpu.ops.pallas.proxy_march import pack_proxy_params
-            fast_packed_proxy = pack_proxy_params(proxy)
+        model_key, proxy, aabb, fast_packed, fast_packed_proxy = \
+            setup_fast_proxy()
         fast_adaptive = None
         if hparams.fast_adaptive is not None:
             if fast_packed_proxy is None:
@@ -453,27 +565,23 @@ def main(hparams):
         if hparams.fast_field_dtype == 'int8':
             # quantized full-frame eval: same coarse->pdf->fine pipeline,
             # trunk matmuls on the MXU int8 path (render/fused.py dispatches
-            # by pack layout). Activation scales calibrated from the
-            # occupied-region AABB, like the fast path.
-            from nerf_siren_tpu.models.embedding import positional_encoding
-            from nerf_siren_tpu.models.nerf import apply_nerf
+            # by pack layout). Unlike the fast path, this evaluates EVERY
+            # stratified sample across [near, far], so scales are calibrated
+            # over the full sampling volume (real-ray strata + occupied
+            # AABB), not the tight occupied box alone (ADVICE r3, medium).
+            if (nerf_cfg.width % 128 != 0 or nerf_cfg.skips != (4,)):
+                raise SystemExit('--fast_field_dtype int8 needs the fused '
+                                 'kernel topology (8x256, skips=(4,))')
             from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
-                default_calib_points, pack_model_params_int8)
-            from nerf_siren_tpu.render.fast import estimate_scene_aabb
+                pack_model_params_int8)
 
-            model_key = 'fine' if 'fine' in params else 'coarse'
-
-            def sigma_fn(pts):
-                emb = positional_encoding(pts, 10)
-                return apply_nerf(params[model_key], emb, None,
-                                  cfg=nerf_cfg)[:, 0]
-
-            half = float(np.max(np.abs(dataset.bounds))) * 0.5
-            aabb = estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3)
+            model_key, sigma_fn, half, estimate_aabb = field_geometry()
+            aabb = estimate_aabb()
             packed = pack_model_params_int8(
-                params, default_calib_points((aabb[0], aabb[1])), nerf_cfg)
-            print(f'int8 trunk: scales calibrated from AABB '
-                  f'{np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)}',
+                params, ray_volume_calib_points(aabb), nerf_cfg)
+            print(f'int8 trunk: scales calibrated over the full sampling '
+                  f'volume (dataset ray strata + occupied AABB '
+                  f'{np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)})',
                   flush=True)
         else:
             packed = pack_model_params(params, nerf_cfg)
