@@ -1,16 +1,20 @@
 """Measure the EG3D fast-renderer speed/quality frontier on the real chip.
 
 Mirrors tools/fast_frontier.py for the triplane stack: every row times AND
-scores the SAME held-out frame of the SAME trained scene.
+scores the SAME held-out poses of the SAME trained scene.
 
 1. build (or reuse) the synthetic Blender sphere scene,
 2. train the reference-config EG3D renderer (256^2 planes, 64+64) on-chip,
 3. distill the density proxy once (shared across every operating point),
-4. render one held-out 256^2 pose with the exact marcher and with every
-   (n_candidates, n_keep) fast config (render/triplane_fast.py),
-5. report rays/s (median of 3 frames, scalar-fetch synced — on tunneled
-   runtimes only a host fetch synchronizes), agreement (PSNR of fast vs
-   exact frame) and PSNR vs the dataset GT for both.
+4. render 8 held-out 256^2 poses with the exact marcher and with every
+   (n_candidates, n_keep) fast config (render/triplane_fast.py) —
+   the 8-pose protocol (round 4, VERDICT r3 item 6): the NeRF-side round-3
+   lesson was that single-pose conclusions collapse under pose diversity,
+   so quality is quoted as mean AND min over poses, with per-pose arrays
+   in the JSON,
+5. report rays/s (median of 3 frames on pose 0, scalar-fetch synced — on
+   tunneled runtimes only a host fetch synchronizes), agreement (PSNR of
+   fast vs exact per pose) and PSNR vs the dataset GT for both.
 
 Writes docs/eg3d_fast_frontier.json and prints a markdown table.
 
@@ -33,7 +37,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--distill_steps", type=int, default=500)
-    ap.add_argument("--scene_dir", type=str, default="/tmp/eg3d_frontier_scene")
+    ap.add_argument("--poses", type=int, default=8,
+                    help="held-out 256^2 poses scored per config (timing "
+                         "uses pose 0 only)")
+    ap.add_argument("--scene_dir", type=str,
+                    default="/tmp/eg3d_frontier_scene8")
     ap.add_argument("--ckpt", type=str, default=None,
                     help="cache trained params here (reuse across runs)")
     ap.add_argument("--configs", type=str,
@@ -56,11 +64,13 @@ def main():
     from nerf_siren_tpu.training.eg3d_system import EG3DSystem
 
     if not os.path.exists(os.path.join(args.scene_dir, "transforms_train.json")):
-        make_blender_dataset(args.scene_dir, n_train=6, n_val=2, hw=128)
+        make_blender_dataset(args.scene_dir, n_train=6, n_val=args.poses,
+                             hw=128)
     train_ds = dataset_dict["blender"](root_dir=args.scene_dir, split="train",
                                        img_wh=(128, 128))
     val_ds = dataset_dict["blender"](root_dir=args.scene_dir, split="val",
                                      img_wh=(256, 256))
+    n_poses = min(args.poses, len(val_ds))
 
     cfg = TriPlaneConfig(rendering=RenderingOptions(
         depth_resolution=64, depth_resolution_importance=64,
@@ -96,35 +106,73 @@ def main():
         if args.ckpt:
             save_checkpoint(args.ckpt, {"params": jax.device_get(params)})
 
-    sample = val_ds[0]
-    rays = np.asarray(sample["rays"], np.float32)
-    gt = np.asarray(sample["rgbs"], np.float32)[:, :3]
-    n = rays.shape[0]
+    poses = []
+    for p in range(n_poses):
+        sample = val_ds[p]
+        poses.append({
+            "rays": np.asarray(sample["rays"], np.float32),
+            "gt": np.asarray(sample["rgbs"], np.float32)[:, :3]})
+    n = poses[0]["rays"].shape[0]
+    pose_rays = [jnp.asarray(p["rays"]) for p in poses]
+    rays_j = pose_rays[0]
 
     def time_render(fn, reps=3):
+        """Median frame time on pose 0, scalar-fetch synced."""
         for _ in range(25):  # past the tunneled runtime re-optimization
-            out = fn()
+            out = fn(rays_j)
             float(jnp.sum(jnp.asarray(out["rgb_fine"]).ravel()[:4]))
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = fn()
+            out = fn(rays_j)
             float(jnp.sum(jnp.asarray(out["rgb_fine"]).ravel()[:4]))
             times.append(time.perf_counter() - t0)
-        return out, float(np.median(times))
+        return float(np.median(times))
 
     def psnr_vs(a, b):
         return float(-10 * np.log10(max(float(np.mean((a - b) ** 2)), 1e-12)))
 
-    out, exact_s = time_render(lambda: system.render(params, rays))
-    exact_rgb = np.asarray(out["rgb_fine"], np.float32)
+    def render_poses(fn):
+        return [np.asarray(fn(rd)["rgb_fine"], np.float32)
+                for rd in pose_rays]
+
+    def stats(vals):
+        return (float(np.mean(vals)), float(np.min(vals)),
+                [round(v, 2) for v in vals])
+
+    exact_fn = lambda rd: system.render(params, rd)
+    exact_s = time_render(exact_fn)
+    exact_rgbs = render_poses(exact_fn)
+    gt_mean, gt_min, gt_pp = stats(
+        [psnr_vs(exact_rgbs[p], poses[p]["gt"]) for p in range(n_poses)])
     rows = [{"config": "exact 64+64", "rays_per_sec": n / exact_s,
-             "agreement_db": None, "psnr_vs_gt": psnr_vs(exact_rgb, gt)}]
+             "agreement_db": None, "psnr_vs_gt": gt_mean,
+             "psnr_vs_gt_min": gt_min, "psnr_vs_gt_per_pose": gt_pp}]
     print(f"exact: {n / exact_s / 1e3:.1f}K rays/s, "
-          f"{rows[0]['psnr_vs_gt']:.2f} dB vs GT", flush=True)
+          f"{gt_mean:.2f} dB mean / {gt_min:.2f} min vs GT over "
+          f"{n_poses} poses", flush=True)
+
+    def score(fn, config, extra=None):
+        """Time on pose 0, score agreement + vs-GT over all poses."""
+        fast_s = time_render(fn)
+        rgbs = render_poses(fn)
+        ag_mean, ag_min, ag_pp = stats(
+            [psnr_vs(rgbs[p], exact_rgbs[p]) for p in range(n_poses)])
+        g_mean, g_min, g_pp = stats(
+            [psnr_vs(rgbs[p], poses[p]["gt"]) for p in range(n_poses)])
+        row = {"config": config, "rays_per_sec": n / fast_s,
+               "agreement_db": ag_mean, "agreement_db_min": ag_min,
+               "agreement_per_pose": ag_pp,
+               "psnr_vs_gt": g_mean, "psnr_vs_gt_min": g_min,
+               "psnr_vs_gt_per_pose": g_pp}
+        if extra:
+            row.update(extra)
+        rows.append(row)
+        print(f"{config}: {n / fast_s / 1e3:.1f}K rays/s, agreement "
+              f"{ag_mean:.2f} dB mean / {ag_min:.2f} min, vs GT "
+              f"{g_mean:.2f} mean / {g_min:.2f} min", flush=True)
 
     proxy = None
-    rays_j = jnp.asarray(rays)
     for spec in args.configs.split(","):
         spec = spec.strip()
         quad = "ratio" if spec.endswith("r") else "delta"
@@ -136,18 +184,9 @@ def main():
             distill_steps=args.distill_steps, rng=jax.random.PRNGKey(7),
             placement=placement, proxy=proxy, quadrature=quad)
         proxy = fast.proxy
-        fo, fast_s = time_render(lambda: fast(rays_j))
-        frgb = np.asarray(fo["rgb_fine"], np.float32)
-        rows.append({"config": f"C={C} K={K}"
-                               + (" mid" if placement == "mid" else "")
-                               + (" ratio" if quad == "ratio" else ""),
-                     "rays_per_sec": n / fast_s,
-                     "agreement_db": psnr_vs(frgb, exact_rgb),
-                     "psnr_vs_gt": psnr_vs(frgb, gt)})
-        r = rows[-1]
-        print(f"{r['config']}: {r['rays_per_sec'] / 1e3:.1f}K rays/s, "
-              f"agreement {r['agreement_db']:.2f} dB, "
-              f"vs GT {r['psnr_vs_gt']:.2f} dB", flush=True)
+        score(fast, f"C={C} K={K}"
+              + (" mid" if placement == "mid" else "")
+              + (" ratio" if quad == "ratio" else ""))
 
     # block-granularity frame-global auto-cull (r3): the per-ray variant
     # was net-negative on this 65K-ray frame (docs/status.md r2); blocks
@@ -162,31 +201,34 @@ def main():
             distill_steps=args.distill_steps, rng=jax.random.PRNGKey(7),
             cull="auto", cull_margin=1.2, opacity_eps=eps,
             prepass_candidates=16, placement=placement, proxy=proxy)
-        fo, fast_s = time_render(lambda: fast(rays_j))
-        frgb = np.asarray(fo["rgb_fine"], np.float32)
-        rows.append({"config": f"C=32 K={k} auto eps={eps} {placement}",
-                     "active_frac": fast.last_active_frac,
-                     "rays_per_sec": n / fast_s,
-                     "agreement_db": psnr_vs(frgb, exact_rgb),
-                     "psnr_vs_gt": psnr_vs(frgb, gt)})
-        r = rows[-1]
-        print(f"{r['config']} act={fast.last_active_frac:.2f}: "
-              f"{r['rays_per_sec'] / 1e3:.1f}K rays/s, "
-              f"agreement {r['agreement_db']:.2f} dB, "
-              f"vs GT {r['psnr_vs_gt']:.2f} dB", flush=True)
+        # warm the budget through the pose SEQUENCE so every scored frame
+        # runs at a realistic stale-by-one-frame budget
+        for rd in pose_rays:
+            fast(rd)
+        act = []
+
+        def auto_fn(rd):
+            out = fast(rd)
+            act.append(fast.last_active_frac)
+            return out
+
+        score(auto_fn, f"C=32 K={k} auto eps={eps} {placement}",
+              extra={"active_frac_per_pose":
+                     [round(a, 3) for a in act[-n_poses:]]})
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({"frame_rays": n, "train_steps": args.steps,
-                   "rows": rows}, f, indent=1)
+                   "n_poses": n_poses, "rows": rows}, f, indent=1)
     print(f"wrote {args.out}")
 
-    print("\n| config | K rays/s | agreement | PSNR vs GT |")
+    print("\n| config | K rays/s | agreement mean/min | PSNR vs GT mean/min |")
     print("|---|---|---|---|")
     for r in rows:
-        agree = f"{r['agreement_db']:.2f} dB" if r["agreement_db"] else "—"
+        agree = (f"{r['agreement_db']:.2f}/{r['agreement_db_min']:.2f} dB"
+                 if r["agreement_db"] else "—")
         print(f"| {r['config']} | {r['rays_per_sec'] / 1e3:.0f}K | {agree} "
-              f"| {r['psnr_vs_gt']:.2f} |")
+              f"| {r['psnr_vs_gt']:.2f}/{r['psnr_vs_gt_min']:.2f} |")
 
 
 if __name__ == "__main__":

@@ -73,6 +73,18 @@ for s in $STAGES; do
                 --scene spheres --reuse_scene --auto_only ;;
     auto_cluster)  run_stage auto_cluster  3600 python tools/fast_frontier.py \
                 --scene cluster --reuse_scene --auto_only ;;
+    # round-4 stages (VERDICT r3): int8 trunk measured for real (item 2 —
+    # frontier rows on both scenes + the scheme-level quality probe),
+    # second-scene culled_fused convergence evidence (item 7)
+    int8_spheres)  run_stage int8_spheres  3600 python tools/fast_frontier.py \
+                --scene spheres --reuse_scene --int8_only ;;
+    int8_cluster)  run_stage int8_cluster  3600 python tools/fast_frontier.py \
+                --scene cluster --reuse_scene --int8_only ;;
+    int8_quality)  run_stage int8_quality  2400 python tools/int8_quality.py ;;
+    parity_cluster) run_stage parity_cluster 5400 python \
+                tools/fused_train_parity.py --scene cluster \
+                --backends jnp culled_fused \
+                --out docs/fused_train_parity_cluster.json ;;
     *) echo "unknown stage: $s" ;;
   esac
 done
