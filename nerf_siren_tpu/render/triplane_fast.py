@@ -315,9 +315,34 @@ def make_fast_eg3d_renderer(
                     }, n_fg_b, eps_next
         return run
 
+    @functools.lru_cache(maxsize=None)
+    def plain_program(rp: int, r: int):
+        """Dense-frame bypass (round 4, mirrors render/fast.py): no
+        prepass, no sort, no reassembly — bit-identical to render_plain.
+        The next frame's budget comes from the FIELD opacity this frame
+        computes anyway (a block is foreground if any of its rays
+        rendered above the empty threshold); eps passes through."""
+        nblocks = rp // block
+
+        @jax.jit
+        def run(rays, eps_in):
+            rgb, depth, opacity = render_core(prep_rays8(rays, rp))
+            vis = (opacity > 0.01) & (jnp.arange(rp) < r)
+            n_fg_b = jnp.sum(jnp.any(vis.reshape(nblocks, block), axis=1))
+            return {"rgb_fine": rgb, "depth_fine": depth,
+                    "opacity_fine": opacity}, n_fg_b, eps_in
+        return run
+
     auto_eps = opacity_eps == "auto"
+    # Dense-frame bypass thresholds: the r3 EG3D measurement (act=1.00
+    # frame: fast 103 ms -> 125 ms with the cull machinery on) puts the
+    # prepass+sort+reassembly overhead at ~0.21 of a plain frame, so
+    # culling only pays below act ~= 0.79. Hysteresis stops program
+    # flapping at the boundary (each flap costs a compile).
+    PLAIN_ENTER = 0.80
+    PLAIN_EXIT = 0.75
     # previous frame's block count + calibrated eps (device arrays)
-    budget = {"n_fg_b": None,
+    budget = {"n_fg_b": None, "plain": False,
               "eps": None if auto_eps else jnp.float32(opacity_eps)}
 
     def render_culled(rays: jax.Array) -> Dict[str, jax.Array]:
@@ -326,8 +351,11 @@ def make_fast_eg3d_renderer(
         nblocks = rp // block
         # budget quantum in blocks; n_act_b*block stays a TILE_R multiple
         quantum_b = -(-nblocks // (levels * blocks_per_tile)) * blocks_per_tile
+        plain = False
         if budget["n_fg_b"] is None:
-            n_act_b = nblocks                                # first frame
+            # first frame: always the FULL culled program — it renders
+            # every ray AND calibrates eps via the prepass
+            n_act_b = nblocks
             if budget["eps"] is None:
                 budget["eps"] = jnp.float32(2.0)  # frame-1 fallback: cull
                 # nothing until the full render has calibrated a real eps
@@ -336,14 +364,21 @@ def make_fast_eg3d_renderer(
             n_act_b = max(quantum_b,
                           -(-int(n_fg_b * cull_margin) // quantum_b)
                           * quantum_b)
+            frac = min(n_act_b, nblocks) / nblocks
+            plain = frac >= (PLAIN_EXIT if budget["plain"] else PLAIN_ENTER)
+        budget["plain"] = plain
         n_act_b = min(n_act_b, nblocks)
-        out, budget["n_fg_b"], budget["eps"] = frame_program(n_act_b, rp, r)(
+        program = (plain_program(rp, r) if plain
+                   else frame_program(n_act_b, rp, r))
+        out, budget["n_fg_b"], budget["eps"] = program(
             jnp.asarray(rays, jnp.float32), budget["eps"])
-        render_culled.last_active_frac = n_act_b / nblocks
+        render_culled.last_active_frac = 1.0 if plain else n_act_b / nblocks
+        render_culled.last_plain = plain
         render_culled.last_eps = budget["eps"]
         return {k: v[:r] for k, v in out.items()}
 
     render_culled.proxy = proxy
     render_culled.last_active_frac = None
+    render_culled.last_plain = None
     render_culled.last_eps = None
     return render_culled

@@ -118,6 +118,38 @@ def test_fast_eg3d_auto_cull_matches_plain(scene):
                                atol=1e-5)
 
 
+def test_fast_eg3d_auto_cull_dense_bypass(scene):
+    """Round 4 (VERDICT r3 item 4): the random-init fog scene is dense
+    (nearly every block foreground), so from frame 2 on the auto renderer
+    must take the PLAIN bypass — no prepass/sort/reassembly — with output
+    bit-identical to the plain fast render (r3 measured the cull machinery
+    as pure overhead on act=1.0 EG3D frames: 103 -> 125 ms)."""
+    params, render_fast = scene
+    rays = jnp.asarray(_camera_rays(16, n_miss=0))
+    plain = make_fast_eg3d_renderer(
+        params, CFG, n_candidates=16, n_keep=8,
+        distill_steps=80, distill_batch=4096, proxy=render_fast.proxy,
+        rng=jax.random.PRNGKey(7), table_dtype=jnp.float32)
+    auto = make_fast_eg3d_renderer(
+        params, CFG, n_candidates=16, n_keep=8,
+        distill_steps=80, distill_batch=4096, proxy=render_fast.proxy,
+        rng=jax.random.PRNGKey(7), table_dtype=jnp.float32,
+        cull="auto")
+    ref = plain(rays)
+    auto(rays)                                # frame 1: full culled program
+    assert auto.last_plain is False
+    out = auto(rays)                          # frame 2: dense -> bypass
+    assert auto.last_plain is True
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=0, atol=1e-6)
+    out3 = auto(rays)                         # budget measured from FIELD
+    assert auto.last_plain is True
+    np.testing.assert_allclose(np.asarray(out3["rgb_fine"]),
+                               np.asarray(ref["rgb_fine"]),
+                               rtol=0, atol=1e-6)
+
+
 def test_fast_eg3d_ratio_quadrature_contract(scene):
     """quadrature='ratio' (proxy-shaped stratum compositing): same output
     contract, finite values, box-missing rays at zero, and broad agreement
