@@ -37,7 +37,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # a jax bump that reintroduces the extra-psum bug fails the suite loudly
 # instead of silently training with n×-scaled gradients.
 try:
-    from jax.experimental.shard_map import shard_map as _shard_map_experimental
+    import warnings
+    with warnings.catch_warnings():
+        # the deprecation shim warns on import; the experimental API is
+        # still the numerically-correct choice here (see above) and the
+        # canary test guards the eventual migration
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import (
+            shard_map as _shard_map_experimental)
 
     def _shard_map(f, *, mesh, in_specs, out_specs):
         return _shard_map_experimental(f, mesh=mesh, in_specs=in_specs,
