@@ -815,26 +815,52 @@ def make_auto_cull_renderer(
 
     @functools.lru_cache(maxsize=None)
     def plain_program(n_act_b: int, chunk_b: int, rp: int, r: int):
-        """Dense-frame path: no prepass, no rank/sort, no reassembly —
-        bit-identical output to render_rays_fast over ordered tiles. The
-        next frame's budget comes from FIELD opacity, which this frame
-        measures for free (a reshape+any+sum, ~µs): a block is foreground
-        if any ray rendered above the empty threshold. eps passes through
-        untouched — it was calibrated by a full/culled frame and scene
-        content (a fixed checkpoint) does not drift between poses."""
+        """Dense-frame path: no rank/sort, no gather, no reassembly —
+        bit-identical output to render_rays_fast over ordered tiles.
+
+        The PREPASS stays: the budget and eps that feed the next frame
+        must mean exactly what the culled program's mean (proxy-score
+        space, same thresholds), or the plain->culled transition culls
+        real foreground. First attempt measured the budget from field
+        opacity instead — on-chip the eps=0.01 spheres row then culled
+        20% of blocks after each plain frame and the worst pose collapsed
+        30.9 -> 21.1 dB agreement. The prepass is a tiny-MLP march
+        (~1-2% of frame time); the ~0.32 overhead the bypass removes
+        lives in the argsort + block gather + payload reassembly."""
         nblocks = n_act_b
 
         @jax.jit
         def run(rays8, eps_in):
+            opac = proxy_march.proxy_opacity(
+                packed_proxy, rays8.T, prepass_c)            # (Rp,)
+            opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
+            score = jnp.max(opac.reshape(nblocks, block), axis=1)
             tiles = rays8.reshape(nblocks // chunk_b, chunk_b * block, 8)
             out = jax.lax.map(
                 lambda t: render_rays_fast(params, proxy, t, **common),
                 tiles)
             out = {k: v.reshape(rp, *v.shape[2:]) for k, v in out.items()}
-            vis = ((out[f"opacity_{model}"] > 0.01)
-                   & (jnp.arange(rp) < r))
-            n_fg_b = jnp.sum(jnp.any(vis.reshape(nblocks, block), axis=1))
-            return out, n_fg_b, eps_in
+            if auto_eps:
+                # identical two-sided calibration to frame_program (see
+                # there for the rationale), with order = identity
+                valid = jnp.arange(rp) < r
+                field_op = out[f"opacity_{model}"]
+                empty = (field_op < 0.01) & valid
+                occ = (field_op > 0.05) & valid
+                sub = lambda v: v.reshape(-1, 8)[:, 0]  # noqa: E731
+                pre_s = sub(opac)
+                eps_emp = jnp.nanquantile(
+                    jnp.where(sub(empty), pre_s, jnp.nan), 0.995)
+                eps_occ = jnp.nanquantile(
+                    jnp.where(sub(occ), pre_s, jnp.nan), 0.005)
+                eps_cal = jnp.clip(
+                    jnp.nanmin(jnp.stack([eps_emp, eps_occ])), 1e-4, 0.95)
+                eps_next = jnp.where(jnp.isnan(eps_cal), eps_in, eps_cal)
+            else:
+                eps_next = eps_in
+            thr = jnp.where(eps_next > 1.0, -0.5, eps_next)
+            n_fg_b = jnp.sum(score > thr)
+            return out, n_fg_b, eps_next
         return run
 
     auto_eps = opacity_eps == "auto"

@@ -317,20 +317,44 @@ def make_fast_eg3d_renderer(
 
     @functools.lru_cache(maxsize=None)
     def plain_program(rp: int, r: int):
-        """Dense-frame bypass (round 4, mirrors render/fast.py): no
-        prepass, no sort, no reassembly — bit-identical to render_plain.
-        The next frame's budget comes from the FIELD opacity this frame
-        computes anyway (a block is foreground if any of its rays
-        rendered above the empty threshold); eps passes through."""
+        """Dense-frame bypass (round 4, mirrors render/fast.py): no sort,
+        no gather, no reassembly — bit-identical to render_plain. The
+        PREPASS stays so the budget and eps handed to the next frame mean
+        exactly what the culled program's mean (proxy-score space, same
+        thresholds); measuring the budget from field opacity instead was
+        tried on the NeRF side and culled real foreground after every
+        plain frame (worst pose 30.9 -> 21.1 dB on-chip). The removed
+        overhead lives in the argsort + block gather + reassembly."""
         nblocks = rp // block
 
         @jax.jit
         def run(rays, eps_in):
-            rgb, depth, opacity = render_core(prep_rays8(rays, rp))
-            vis = (opacity > 0.01) & (jnp.arange(rp) < r)
-            n_fg_b = jnp.sum(jnp.any(vis.reshape(nblocks, block), axis=1))
+            rays8 = prep_rays8(rays, rp)
+            opac = proxy_march.proxy_opacity(packed_proxy, rays8.T, prepass_c)
+            opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
+            score = jnp.max(opac.reshape(nblocks, block), axis=1)
+            rgb, depth, opacity = render_core(rays8)
+            if auto_eps:
+                # identical two-sided calibration to frame_program (see
+                # there for the rationale), with order = identity
+                valid = jnp.arange(rp) < r
+                empty = (opacity < 0.01) & valid
+                occ = (opacity > 0.05) & valid
+                sub = lambda v: v.reshape(-1, 8)[:, 0]  # noqa: E731
+                pre_s = sub(opac)
+                eps_emp = jnp.nanquantile(
+                    jnp.where(sub(empty), pre_s, jnp.nan), 0.995)
+                eps_occ = jnp.nanquantile(
+                    jnp.where(sub(occ), pre_s, jnp.nan), 0.005)
+                eps_cal = jnp.clip(
+                    jnp.nanmin(jnp.stack([eps_emp, eps_occ])), 1e-4, 0.95)
+                eps_next = jnp.where(jnp.isnan(eps_cal), eps_in, eps_cal)
+            else:
+                eps_next = eps_in
+            thr = jnp.where(eps_next > 1.0, -0.5, eps_next)
+            n_fg_b = jnp.sum(score > thr)
             return {"rgb_fine": rgb, "depth_fine": depth,
-                    "opacity_fine": opacity}, n_fg_b, eps_in
+                    "opacity_fine": opacity}, n_fg_b, eps_next
         return run
 
     auto_eps = opacity_eps == "auto"
