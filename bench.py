@@ -208,11 +208,8 @@ def worker(partial_path: str) -> None:
     # the kernel by pack layout). Throughput only — quantization quality
     # is measured by tools/int8_quality.py on a converged scene, not here.
     from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
-        default_calib_points as _calib_i8,
         pack_model_params_int8 as _pack_i8)
-    # bench rays span o=(0,0,4) + t*d, t in [2,6], |d|=1 -> this AABB
-    packed_i8_frame = _pack_i8(
-        params, _calib_i8(([-6.0, -6.0, -2.0], [6.0, 6.0, 10.0])), nerf_cfg)
+    packed_i8_frame = _pack_i8(params, nerf_cfg)
     dt_i8 = time_frames(render_frame, packed_i8_frame)
     i8_rays_per_sec = n_rays_frame * n_iters / dt_i8 / n_chips
     sec["exact_pipeline_int8_rays_per_sec"] = round(i8_rays_per_sec, 1)
@@ -267,9 +264,8 @@ def worker(partial_path: str) -> None:
     # int8-trunk survivor eval (ops/pallas/fused_mlp_int8.py): same C32/K16
     # pipeline with the field matmuls on the MXU int8 path
     from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
-        default_calib_points, pack_model_params_int8)
-    packed_i8 = pack_model_params_int8(
-        params, default_calib_points(aabb), nerf_cfg)
+        pack_model_params_int8)
+    packed_i8 = pack_model_params_int8(params, nerf_cfg)
     fast_i8, fast_i8_lat = time_fast(32, 16, field_pack=packed_i8)
     sec["fast_path_int8_conservative_rays_per_sec"] = round(fast_i8, 1)
     sec["fast_p50_frame_latency_int8_conservative_s"] = round(fast_i8_lat, 4)

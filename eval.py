@@ -92,9 +92,9 @@ def get_opts(args=None):
                              "(full-frame quantized eval): "
                              "'int8' runs the 8x256 trunk on the MXU's "
                              "int8 path (ops/pallas/fused_mlp_int8.py, "
-                             "~2.4x the bf16 matmul chain; activation "
-                             "scales calibrated from the scene AABB at "
-                             "pack time). Quality cost measured in "
+                             "~2.4x the bf16 matmul chain; dynamic "
+                             "per-point activation scales, no "
+                             "calibration). Quality cost measured in "
                              "docs/int8_quality.json / the frontier "
                              "field_dtype=int8 rows")
     parser.add_argument('--fast_quadrature', type=str, default='delta',
@@ -231,33 +231,6 @@ def main(hparams):
         return model_key, sigma_fn, half, (
             lambda: estimate_scene_aabb(sigma_fn, [-half] * 3, [half] * 3))
 
-    def ray_volume_calib_points(aabb, n=65536):
-        """int8 calibration points covering the FULL sampling volume.
-
-        render_rays_fused evaluates every stratified sample across
-        [near, far] — unlike the fast path, which only evaluates
-        proxy-selected survivors near the occupied region — so activation
-        scales calibrated from the tight occupied AABB saturate the
-        raw-coordinate requant on empty-space samples and distort the
-        coarse importance distribution (ADVICE r3, medium). Mix stratified
-        samples along REAL dataset rays (the exact distribution the kernel
-        will see) with uniform occupied-AABB points (where the numerics
-        matter most).
-        """
-        rng_cal = np.random.default_rng(0)
-        rays_cal = np.asarray(dataset[0]['rays'], np.float32)
-        sel = rng_cal.choice(rays_cal.shape[0],
-                             min(8192, rays_cal.shape[0]), replace=False)
-        o, d = rays_cal[sel, 0:3], rays_cal[sel, 3:6]
-        near, far = rays_cal[sel, 6:7], rays_cal[sel, 7:8]
-        t = rng_cal.uniform(0.0, 1.0, (sel.size, 8, 1)).astype(np.float32)
-        z = near[:, None] + (far - near)[:, None] * t
-        ray_pts = (o[:, None] + d[:, None] * z).reshape(-1, 3)
-        from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
-            default_calib_points)
-        box_pts = np.asarray(default_calib_points(aabb, n=n // 2))
-        return jnp.asarray(np.concatenate([ray_pts, box_pts]))
-
     def setup_fast_proxy():
         """Density proxy + kernel packs for the proxy-culled fast renderer.
 
@@ -347,11 +320,10 @@ def main(hparams):
                 raise SystemExit('--fast_field_dtype int8 needs the fused '
                                  'kernel topology (8x256, skips=(4,))')
             from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
-                default_calib_points, pack_model_params_int8)
-            fast_packed = pack_model_params_int8(
-                params, default_calib_points((aabb[0], aabb[1])), nerf_cfg)
-            print('int8 trunk: activation scales calibrated from the scene '
-                  'AABB', flush=True)
+                pack_model_params_int8)
+            fast_packed = pack_model_params_int8(params, nerf_cfg)
+            print('int8 trunk: dynamic per-point activation scales '
+                  '(no calibration)', flush=True)
         # fused proxy-march kernel: march + pdf selection in VMEM
         if (fast_packed is not None and hparams.fast_select == 'pdf'
                 and hparams.fast_keep % 2 == 0):
@@ -565,24 +537,19 @@ def main(hparams):
         if hparams.fast_field_dtype == 'int8':
             # quantized full-frame eval: same coarse->pdf->fine pipeline,
             # trunk matmuls on the MXU int8 path (render/fused.py dispatches
-            # by pack layout). Unlike the fast path, this evaluates EVERY
-            # stratified sample across [near, far], so scales are calibrated
-            # over the full sampling volume (real-ray strata + occupied
-            # AABB), not the tight occupied box alone (ADVICE r3, medium).
+            # by pack layout). Activation scales are dynamic per point —
+            # no calibration, so evaluating every stratified [near, far]
+            # sample (unlike the fast path's survivors) cannot saturate
+            # anything (this closed ADVICE r3's calibration-volume finding
+            # by construction).
             if (nerf_cfg.width % 128 != 0 or nerf_cfg.skips != (4,)):
                 raise SystemExit('--fast_field_dtype int8 needs the fused '
                                  'kernel topology (8x256, skips=(4,))')
             from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
                 pack_model_params_int8)
-
-            model_key, sigma_fn, half, estimate_aabb = field_geometry()
-            aabb = estimate_aabb()
-            packed = pack_model_params_int8(
-                params, ray_volume_calib_points(aabb), nerf_cfg)
-            print(f'int8 trunk: scales calibrated over the full sampling '
-                  f'volume (dataset ray strata + occupied AABB '
-                  f'{np.round(aabb[0], 2)} .. {np.round(aabb[1], 2)})',
-                  flush=True)
+            packed = pack_model_params_int8(params, nerf_cfg)
+            print('int8 trunk: dynamic per-point activation scales '
+                  '(no calibration)', flush=True)
         else:
             packed = pack_model_params(params, nerf_cfg)
 

@@ -7,23 +7,33 @@ is the only remaining lever. Measured in-kernel on the v5e (round 3,
 docs/status.md): an int8 layer chain with full requant epilogue runs 2.39x
 the bf16 chain (raw int8 2.78x).
 
-What is quantized (mirrors tools/int8_quality.py, which measures the
-rendered-quality cost of exactly this split):
-  - the 8x256 xyz trunk's matmuls: weights int8 per-output-row, activations
-    int8 with STATIC per-tensor scales (calibrated once per checkpoint at
-    pack time from stratified scene samples);
+What is quantized (tools/int8_quality.py measures the rendered-quality cost
+of each candidate recipe on a trained scene; docs/int8_quality.json):
+  - the 8x256 xyz trunk's matmuls: weights int8 per-output-row (static, at
+    pack time), activations int8 with DYNAMIC PER-POINT scales — each
+    activation column's absmax, computed in-kernel (a (C,T) -> (1,T) max
+    reduce, ~0.4% of the matmul FLOPs).
   - the positional-encoding sin/cos operand has range [-1, 1] by
-    construction — fixed scale 1/127, no calibration;
-  - raw coordinates keep a scene-box scale (they only enter as the tiny
-    3-column linear term of layer 0 / the skip layer).
+    construction — fixed scale 1/127, folded into the weight row scales at
+    pack time;
+  - raw coordinates ride the same dynamic per-point scale path.
 Everything else — the sin arguments themselves (f32: 2^9-scaled coordinates
 cannot survive int8), sigma/rgb/direction heads (<10% of FLOPs), biases,
 final trunk activation — stays f32/bf16, identical to fused_mlp.py.
 
-Dequant scales fold: at pack time each weight's per-row scale is multiplied
-by its operand's static activation scale, so the kernel epilogue is one
-(O,1)-column multiply per matmul — then bias+relu+requant (round/clip/cast),
-the same epilogue the 2.39x microbenchmark paid for.
+Why dynamic, not calibrated-static (round-4 redesign, measured): a trained
+trunk's late activations are extremely channel- and point-skewed (spheres
+scene h7 absmax 1684, p99.9 870). Rendered agreement vs the exact frame,
+fake-quant on the trained spheres scene (tools/int8_quality.py protocol):
+per-tensor static absmax 16.7 dB (unusable), 99.9th-percentile 19.4 dB,
+per-channel static 31.2 dB, per-point dynamic 51.2 dB — within 3 dB of
+weight-only quantization (53.8 dB), i.e. the activation cost is ~zero.
+Dynamic also removes calibration entirely: packing needs no scene points,
+no AABB, and cannot be invalidated by out-of-calibration inputs (the
+round-3 ADVICE finding about empty-space saturation).
+
+The epilogue per matmul is (O,T)*(O,1)row_scale*(1,T)col_scale — one more
+rank-1 broadcast than the 2.39x microbenchmark's epilogue paid for.
 
 Layout, tiling, two-half pipelining, head math: identical to fused_mlp.py
 (v3 transposed). Reference being replaced: the per-chunk MLP hot loop,
@@ -35,7 +45,7 @@ the fast proxy-culled renderer where quality is measured as agreement dB
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +54,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nerf_siren_tpu.config import NeRFConfig
-from nerf_siren_tpu.models.embedding import positional_encoding
 from nerf_siren_tpu.ops.pallas import fused_mlp
 from nerf_siren_tpu.ops.pallas.fused_mlp import (
     IN_ROWS,
@@ -60,44 +69,8 @@ EMB_X = 63  # 3 * (2*10 + 1) reference embedding channels
 
 
 # ---------------------------------------------------------------------------
-# calibration + packing
+# packing
 # ---------------------------------------------------------------------------
-
-def calibrate_act_scales(params_field: Dict[str, Any],
-                         xyz: jnp.ndarray,
-                         cfg: NeRFConfig = NeRFConfig(),
-                         percentile: Optional[float] = None) -> Dict[str, float]:
-    """Static activation absmax (or percentile) per trunk matmul operand.
-
-    xyz: (N, 3) representative scene points (e.g. stratified samples along
-    a few thousand rays). Returns {'x': s, 'h1': s, ..., 'h7': s} — 'e' is
-    omitted (sin/cos range is exactly [-1, 1]). One jitted stats pass.
-    """
-    @jax.jit
-    def stats(p, pts):
-        emb = positional_encoding(pts, 10)
-        x, e = emb[:, :3], emb[:, 3:]
-        out = {"x": jnp.max(jnp.abs(x))} if percentile is None else \
-            {"x": jnp.percentile(jnp.abs(x).ravel(), percentile)}
-        h = None
-        for i in range(cfg.depth):
-            L = p["xyz_layers"][i]
-            w = L["kernel"]
-            if i == 0:
-                y = x @ w[:3] + e @ w[3:]
-            else:
-                if i in cfg.skips:
-                    y = x @ w[:3] + e @ w[3:EMB_X] + h @ w[EMB_X:]
-                else:
-                    y = h @ w
-                out[f"h{i}"] = jnp.max(jnp.abs(h)) if percentile is None \
-                    else jnp.percentile(jnp.abs(h).ravel(), percentile)
-            h = jax.nn.relu(y + L["bias"])
-        return out
-
-    return {k: float(v) for k, v in
-            jax.device_get(stats(params_field, jnp.asarray(xyz))).items()}
-
 
 def _quant_rows(w_t: np.ndarray):
     """Per-output-row symmetric int8 for a transposed (O, I) weight.
@@ -109,16 +82,15 @@ def _quant_rows(w_t: np.ndarray):
 
 
 def pack_nerf_params_int8(params: Dict[str, Any],
-                          act_scales: Dict[str, float],
                           cfg: NeRFConfig = NeRFConfig(),
                           n_freqs_xyz: int = 10,
                           n_freqs_dir: int = 4) -> Dict[str, jnp.ndarray]:
     """Kernel layout for the int8 trunk + bf16 heads.
 
-    act_scales: calibrate_act_scales output. Per-matmul dequant scales are
-    folded as row_scale * act_scale at pack time; requant uses
-    inv_h{i} = 1 / act_scale(h_i) columns. Head keys are reused verbatim
-    from the bf16 pack.
+    No calibration inputs: activation scales are computed per point inside
+    the kernel. The sin/cos operand's fixed 1/127 scale is folded into the
+    f{i}s row-scale columns here. Head keys are reused verbatim from the
+    bf16 pack.
     """
     assert cfg.skips == (4,), "kernel supports the reference skip=(4,) topology"
     assert n_freqs_xyz == 10 and n_freqs_dir == 4, "row layout is fixed"
@@ -127,9 +99,7 @@ def pack_nerf_params_int8(params: Dict[str, Any],
         "sx", "px", "sd", "pd", "w_sigma", "b_sigma",
         "w_comb", "b_comb", "wdx", "wds", "w_rgb", "b_rgb")}
 
-    s_x = float(act_scales["x"]) / 127.0
-    s_e = 1.0 / 127.0
-    out["inv_x"] = jnp.full((1, 1), 1.0 / s_x, jnp.float32)
+    s_e = 1.0 / 127.0  # sin/cos range is exactly ±1: static, folded here
     layers = params["xyz_layers"]
 
     def f32t(x):
@@ -137,40 +107,34 @@ def pack_nerf_params_int8(params: Dict[str, Any],
 
     for i in range(cfg.depth):
         k_t = f32t(layers[i]["kernel"])
-        s_h = None if i == 0 else float(act_scales[f"h{i}"]) / 127.0
         if i == 0 or i in cfg.skips:
             w_x, w_s = _split_embed_cols(k_t[:, :EMB_X], n_freqs_xyz)
             qx, sx_row = _quant_rows(w_x)
             qs, ss_row = _quant_rows(w_s)
             out[f"q{i}x"] = jnp.asarray(qx)
-            out[f"f{i}x"] = jnp.asarray(sx_row * s_x)
+            out[f"f{i}x"] = jnp.asarray(sx_row)
             out[f"q{i}s"] = jnp.asarray(qs)
             out[f"f{i}s"] = jnp.asarray(ss_row * s_e)
             if i in cfg.skips:
                 qh, sh_row = _quant_rows(k_t[:, EMB_X:])
                 out[f"q{i}h"] = jnp.asarray(qh)
-                out[f"f{i}h"] = jnp.asarray(sh_row * s_h)
+                out[f"f{i}h"] = jnp.asarray(sh_row)
         else:
             qh, sh_row = _quant_rows(k_t)
             out[f"q{i}"] = jnp.asarray(qh)
-            out[f"f{i}"] = jnp.asarray(sh_row * s_h)
+            out[f"f{i}"] = jnp.asarray(sh_row)
         out[f"b{i}"] = base[f"b{i}"]
-        if i + 1 < cfg.depth:  # requant target scale for h_{i+1}'s producer
-            out[f"inv_h{i + 1}"] = jnp.float32(
-                1.0 / (float(act_scales[f"h{i + 1}"]) / 127.0)).reshape(1, 1)
     return out
 
 
 def _int8_names(depth, skips):
-    names = ["sx", "px", "inv_x", "q0x", "f0x", "q0s", "f0s", "b0", "inv_h1"]
+    names = ["sx", "px", "q0x", "f0x", "q0s", "f0s", "b0"]
     for i in range(1, depth):
         if i in skips:
             names += [f"q{i}x", f"f{i}x", f"q{i}s", f"f{i}s",
                       f"q{i}h", f"f{i}h", f"b{i}"]
         else:
             names += [f"q{i}", f"f{i}", f"b{i}"]
-        if i + 1 < depth:
-            names.append(f"inv_h{i + 1}")
     return names + ["w_sigma", "b_sigma",
                     "sd", "pd", "w_comb", "b_comb", "wdx", "wds",
                     "w_rgb", "b_rgb"]
@@ -186,9 +150,17 @@ def _dot_i8(w, a):
                                preferred_element_type=jnp.int32)
 
 
-def _requant(y_f32, inv_s):
-    """f32 -> int8 at scale 1/inv_s (relu already applied upstream)."""
-    return jnp.clip(jnp.round(y_f32 * inv_s), -127.0, 127.0).astype(jnp.int8)
+def _quant_dyn(v):
+    """Dynamic per-point (per-column) int8: returns (int8 (C, T), f32
+    col scales (1, T)). Zero columns quantize to 0 at the guard scale."""
+    s = jnp.maximum(jnp.max(jnp.abs(v), axis=0, keepdims=True), 1e-9) / 127.0
+    q = jnp.clip(jnp.round(v / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _requant_fixed(v, scale):
+    """f32 -> int8 at a FIXED scale (the ±1-range sin/cos operand)."""
+    return jnp.clip(jnp.round(v * scale), -127.0, 127.0).astype(jnp.int8)
 
 
 def _trunk_int8(refs, x_ref, depth, skips, parts=2):
@@ -199,45 +171,47 @@ def _trunk_int8(refs, x_ref, depth, skips, parts=2):
 
     def emb_q(x):
         e = jnp.sin(_dot_f32(refs["sx"][...], x) + refs["px"][...])
-        return _requant(e, 127.0)
+        return _requant_fixed(e, 127.0)  # 1/127 scale folded into f{i}s
 
-    def stage0(xq, eq):
+    def stage0(xq, sx, eq):
         return (_dot_i8(refs["q0x"][...], xq).astype(jnp.float32)
-                * refs["f0x"][...]
+                * refs["f0x"][...] * sx
                 + _dot_i8(refs["q0s"][...], eq).astype(jnp.float32)
                 * refs["f0s"][...])
 
-    def stage(i, hq, xq, eq):
+    def stage(i, hq, sh, xq, sx, eq):
         y = _dot_i8(refs[f"q{i}h" if i in skips else f"q{i}"][...],
                     hq).astype(jnp.float32) \
-            * refs[f"f{i}h" if i in skips else f"f{i}"][...]
+            * refs[f"f{i}h" if i in skips else f"f{i}"][...] * sh
         if i in skips:
             y = (y + _dot_i8(refs[f"q{i}x"][...], xq).astype(jnp.float32)
-                 * refs[f"f{i}x"][...]
+                 * refs[f"f{i}x"][...] * sx
                  + _dot_i8(refs[f"q{i}s"][...], eq).astype(jnp.float32)
                  * refs[f"f{i}s"][...])
         return y
 
-    xqs, eqs, ys = [], [], []
+    xqs, sxs, eqs, ys = [], [], [], []
     for p in range(parts):
         x = x_ref[:, p * q:(p + 1) * q]
-        # x rows beyond 3 are zero (quantize to 0); coords use the static
-        # scene-box scale folded into f0x / f{skip}x at pack time
-        xq = _requant(x, refs["inv_x"][...])
+        # x rows beyond 3 are zero; the per-point dynamic scale covers the
+        # live coordinate rows exactly (no scene-box calibration)
+        xq, sx = _quant_dyn(x)
         eq = emb_q(x)
         xqs.append(xq)
+        sxs.append(sx)
         eqs.append(eq)
-        ys.append(stage0(xq, eq))
+        ys.append(stage0(xq, sx, eq))
     hs = [None] * parts
     # wavefront: at wave w, part p computes layer (w - p); the epilogue is
-    # bias+relu+requant instead of fused_mlp's bias+relu+bf16-cast
+    # bias+relu+dynamic-requant instead of fused_mlp's bias+relu+bf16-cast
     for wave in range(1, depth + parts):
         for p in range(parts):
             layer = wave - p
             if 1 <= layer <= depth - 1:
                 h_f = jax.nn.relu(ys[p] + refs[f"b{layer-1}"][...])
-                hs[p] = _requant(h_f, refs[f"inv_h{layer}"][...])
-                ys[p] = stage(layer, hs[p], xqs[p], eqs[p])
+                hq, sh = _quant_dyn(h_f)
+                hs[p] = hq
+                ys[p] = stage(layer, hq, sh, xqs[p], sxs[p], eqs[p])
     out = []
     for p in range(parts):
         out.append(jax.nn.relu(ys[p] + refs[f"b{depth-1}"][...])
@@ -315,24 +289,11 @@ def fused_sigma_t_int8(packed: Dict[str, jnp.ndarray], xyzT: jnp.ndarray,
     return _run_t(kernel, _int8_names(depth, skips), packed, [xyzT])
 
 
-def default_calib_points(scene_aabb, n: int = 65536,
-                         key: Optional[jax.Array] = None) -> jnp.ndarray:
-    """Uniform calibration points over the scene AABB (min, max) pair."""
-    lo = jnp.asarray(scene_aabb[0], jnp.float32)
-    hi = jnp.asarray(scene_aabb[1], jnp.float32)
-    key = jax.random.PRNGKey(0) if key is None else key
-    u = jax.random.uniform(key, (n, 3), jnp.float32)
-    return lo + u * (hi - lo)
-
-
 def pack_model_params_int8(params: Dict[str, Any],
-                           calib_xyz: jnp.ndarray,
                            cfg: NeRFConfig = NeRFConfig(),
-                           percentile: Optional[float] = None,
                            n_freqs_xyz: int = 10, n_freqs_dir: int = 4):
-    """Calibrate + pack each NeRF field in a {'coarse','fine',...} dict.
-
-    calib_xyz: (N, 3) representative scene points shared by all fields.
+    """Pack each NeRF field in a {'coarse','fine',...} dict for the int8
+    kernel. No calibration inputs (dynamic per-point activation scales).
     Skips non-field subtrees (e.g. the distilled proxy), like
     fused_mlp.pack_model_params.
     """
@@ -340,7 +301,5 @@ def pack_model_params_int8(params: Dict[str, Any],
     for k, v in params.items():
         if "xyz_layers" not in v:
             continue
-        scales = calibrate_act_scales(v, calib_xyz, cfg, percentile)
-        out[k] = pack_nerf_params_int8(v, scales, cfg, n_freqs_xyz,
-                                       n_freqs_dir)
+        out[k] = pack_nerf_params_int8(v, cfg, n_freqs_xyz, n_freqs_dir)
     return out

@@ -175,8 +175,7 @@ def test_fast_render_int8_pack_dispatch():
         cfg = NeRFConfig()
         params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
         packed = fused_mlp.pack_model_params(params, cfg)
-        calib = fused_mlp_int8.default_calib_points(([-2] * 3, [2] * 3), 2048)
-        packed8 = fused_mlp_int8.pack_model_params_int8(params, calib, cfg)
+        packed8 = fused_mlp_int8.pack_model_params_int8(params, cfg)
         assert (_field_kernel_for(packed8["fine"]).__name__
                 == "fused_full_t_int8")
         assert _field_kernel_for(packed["fine"]).__name__ == "fused_full_t"

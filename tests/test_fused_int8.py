@@ -1,7 +1,7 @@
 """int8 fused field kernel vs a jnp fake-quant reference.
 
 The kernel must match a jnp implementation of the SAME quantization recipe
-(per-output-row int8 weights, static per-tensor activation scales, f32/bf16
+(per-output-row int8 weights, dynamic per-point activation scales, f32/bf16
 heads) — the bit-match policy of SURVEY §7 applied to the quantized trunk.
 The quality cost of the recipe itself vs f32 is measured separately on-chip
 by tools/int8_quality.py (fake-quant) and tools/fast_frontier.py --int8
@@ -35,47 +35,47 @@ def small_tile():
 def setup():
     cfg = NeRFConfig()
     params = init_nerf(jax.random.PRNGKey(0), cfg)
-    xyz_cal = jax.random.uniform(jax.random.PRNGKey(7), (2048, 3),
-                                 minval=-1.5, maxval=1.5)
-    scales = fused_mlp_int8.calibrate_act_scales(params, xyz_cal, cfg)
-    packed = fused_mlp_int8.pack_nerf_params_int8(params, scales, cfg)
-    return cfg, params, scales, packed
+    packed = fused_mlp_int8.pack_nerf_params_int8(params, cfg)
+    return cfg, params, None, packed
 
 
 def _fake_quant_ref(params, scales, cfg, xyz, dirs):
-    """jnp mirror of the kernel's exact quantization recipe (f32 heads)."""
-    def qw_cols(w_t_cols):
-        # per-output-row int8 on a transposed (O, I) block
-        s = np.max(np.abs(w_t_cols), axis=1, keepdims=True) / 127.0
-        s = np.maximum(s, 1e-12)
-        return np.clip(np.round(w_t_cols / s), -127, 127) * s
+    """jnp mirror of the kernel's exact quantization recipe (f32 heads):
+    per-output-row int8 weights, DYNAMIC per-point activation scales
+    (round-4 recipe; `scales` is unused and kept for signature parity)."""
+    def qw_rows(w_t_cols):
+        row_s = np.maximum(
+            np.max(np.abs(w_t_cols), axis=1, keepdims=True) / 127.0, 1e-12)
+        q = np.clip(np.round(w_t_cols / row_s), -127, 127)
+        return q * row_s  # dequantized effective weight (exact int math)
 
-    def qa(a, s):
-        step = s / 127.0
-        return np.clip(np.round(np.asarray(a) / step), -127, 127) * step
+    def qa_dyn(a):
+        s = np.maximum(np.max(np.abs(a), axis=-1, keepdims=True),
+                       1e-9) / 127.0
+        return np.clip(np.round(np.asarray(a) / s), -127, 127) * s
+
+    def qa_fixed(a):
+        return np.clip(np.round(np.asarray(a) * 127.0), -127, 127) / 127.0
 
     emb = np.asarray(positional_encoding(jnp.asarray(xyz), 10))
     x, e = emb[:, :3], emb[:, 3:]
     # the kernel quantizes the SIN/COS rows (its own k-major layout) at
-    # 1/127; the interleaved jnp order quantizes identically elementwise
-    xq, eq = qa(x, scales["x"]), qa(e, 1.0)
+    # 1/127; the interleaved jnp order quantizes identically elementwise.
+    # NOTE the kernel's dynamic x scale is computed over the 8 padded rows
+    # (rows 3+ zero) — identical to the 3-column absmax here.
+    xq, eq = qa_dyn(x), qa_fixed(e)
     h = None
     for i in range(cfg.depth):
         L = params["xyz_layers"][i]
         w_t = np.asarray(L["kernel"], np.float32).T  # (O, I)
         if i == 0:
-            w = np.concatenate([qw_cols(w_t[:, :3]), qw_cols(w_t[:, 3:])], 1)
-            y = xq @ w.T[:3] + eq @ w.T[3:]
+            y = (xq @ qw_rows(w_t[:, :3]).T + eq @ qw_rows(w_t[:, 3:]).T)
         elif i in cfg.skips:
-            w = np.concatenate([qw_cols(w_t[:, :3]),
-                                qw_cols(w_t[:, 3:EMB_X]),
-                                qw_cols(w_t[:, EMB_X:])], 1)
-            hq = qa(h, scales[f"h{i}"])
-            y = xq @ w.T[:3] + eq @ w.T[3:EMB_X] + hq @ w.T[EMB_X:]
+            y = (xq @ qw_rows(w_t[:, :3]).T
+                 + eq @ qw_rows(w_t[:, 3:EMB_X]).T
+                 + qa_dyn(h) @ qw_rows(w_t[:, EMB_X:]).T)
         else:
-            w = qw_cols(w_t)
-            hq = qa(h, scales[f"h{i}"])
-            y = hq @ w.T
+            y = qa_dyn(h) @ qw_rows(w_t).T
         h = np.maximum(y + np.asarray(L["bias"]), 0.0)
     hj = jnp.asarray(h)
     sigma = linear(params["sigma"], hj)

@@ -304,10 +304,8 @@ def main():
         # The exact anchor below stays bf16 — agreement still means
         # "vs the exact reference-algorithm render".
         from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
-            default_calib_points, pack_model_params_int8)
-        calib_pts = default_calib_points(
-            (np.asarray(aabb[0]), np.asarray(aabb[1])))
-        packed_field = pack_model_params_int8(params, calib_pts, nerf_cfg)
+            pack_model_params_int8)
+        packed_field = pack_model_params_int8(params, nerf_cfg)
         field_dtype = "int8"
 
     @jax.jit

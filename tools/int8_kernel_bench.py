@@ -31,8 +31,7 @@ def main():
     cfg = NeRFConfig()
     params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
     packed = fused_mlp.pack_model_params(params, cfg)["fine"]
-    calib = fused_mlp_int8.default_calib_points(([-2.2] * 3, [2.2] * 3))
-    packed8 = fused_mlp_int8.pack_model_params_int8(params, calib, cfg)["fine"]
+    packed8 = fused_mlp_int8.pack_model_params_int8(params, cfg)["fine"]
 
     key = jax.random.PRNGKey(1)
     xyz = jax.random.uniform(key, (fused_mlp.IN_ROWS, N), jnp.float32,

@@ -104,6 +104,10 @@ def make_quant_field(params_fine, scheme, act_scales):
         if scheme == "dyn":
             s = jnp.max(jnp.abs(a), axis=-1, keepdims=True) / 127.0
             return quant_a(a, s)
+        # 'chan': per-channel static absmax vector (C,) — realizable at
+        # ZERO kernel cost by folding the channel scales into the next
+        # layer's weight columns (ops/pallas/fused_mlp_int8.py does
+        # exactly this); 'static'/'p999' use one per-tensor scalar
         return quant_a(a, act_scales[key] / 127.0)
 
     def field(p, xyz, dir_emb):
@@ -201,13 +205,13 @@ def main():
     rcfg = RenderConfig(n_samples=64, n_importance=64, perturb=0.0,
                         noise_std=0.0, white_back=True, test_time=True)
 
-    def render_frame(field_fn):
-        # one compiled program per scheme; fixed 40000-ray chunks (pad last)
+    def render_frame(field_fn, chunk=40000):
+        # one compiled program per scheme; fixed-size ray chunks (pad last)
         fn = jax.jit(lambda p, r: render_rays(p, r, rcfg,
                                               field_fn=field_fn)["rgb_fine"])
         outs = []
         r = np.asarray(rays, np.float32)
-        n, chunk = r.shape[0], 40000
+        n = r.shape[0]
         pad = -n % chunk
         r = np.concatenate([r, np.repeat(r[-1:], pad, 0)]) if pad else r
         for i in range(0, r.shape[0], chunk):
@@ -234,22 +238,38 @@ def main():
     def act_stats(p, pts):
         acts = trunk_operands(p, pts)
         return {k: (jnp.max(jnp.abs(v)),
-                    jnp.percentile(jnp.abs(v).ravel(), 99.9))
+                    jnp.percentile(jnp.abs(v).ravel(), 99.9),
+                    jnp.max(jnp.abs(v), axis=0))  # per-channel absmax
                 for k, v in acts.items()}
 
     stats = jax.device_get(act_stats(params["fine"], jnp.asarray(xyz)))
     calib = {k: [float(v[0]), float(v[1])] for k, v in stats.items()}
+    chan = {k: np.asarray(v[2], np.float32) for k, v in stats.items()}
     print("act calib (absmax, p99.9):",
           {k: [round(v[0], 3), round(v[1], 3)] for k, v in calib.items()},
           flush=True)
+    print("per-channel absmax spread (min/median/max):",
+          {k: [round(float(np.min(v)), 2), round(float(np.median(v)), 2),
+               round(float(np.max(v)), 2)] for k, v in chan.items()},
+          flush=True)
 
     results = {"scene": SCENE, "eval_h": H, "exact_vs_gt_db": p_exact,
-               "calib": calib, "schemes": {}}
-    for scheme in ["wonly", "static", "p999", "dyn"]:
-        scales = {k: jnp.float32(v[0] if scheme != "p999" else v[1])
-                  for k, v in calib.items()}
+               "calib": calib,
+               "chan_spread": {k: [float(np.min(v)), float(np.median(v)),
+                                   float(np.max(v))]
+                               for k, v in chan.items()},
+               "schemes": {}}
+    for scheme in ["wonly", "static", "p999", "chan", "dyn"]:
+        if scheme == "chan":
+            scales = {k: jnp.maximum(jnp.asarray(v), 1e-9) for k, v in
+                      chan.items()}
+        else:
+            scales = {k: jnp.float32(v[0] if scheme != "p999" else v[1])
+                      for k, v in calib.items()}
         field = make_quant_field(params["fine"], scheme, scales)
-        frame = render_frame(field)
+        # dyn materializes per-point scale temporaries per layer — smaller
+        # chunks keep it under HBM (the 40000-ray chunk OOM'd 16G, r4)
+        frame = render_frame(field, chunk=8000 if scheme == "dyn" else 40000)
         ag, vg = psnr(frame, exact), psnr(frame, gt)
         results["schemes"][scheme] = {"agreement_db": ag, "vs_gt_db": vg}
         print(f"{scheme:7s}: agreement {ag:6.2f} dB   vs GT {vg:6.2f} dB "
