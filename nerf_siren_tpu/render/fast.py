@@ -701,12 +701,18 @@ def make_auto_cull_renderer(
     both r3 scenes; see PLAIN_ENTER below), culling can only lose
     (measured r3: spheres act 0.83 auto 4.06M vs plain 4.68M rays/s;
     EG3D act=1.0 frames strictly slower) — such frames render through a
-    plain ordered-tile program with ZERO auto-cull cost, and the next
-    budget is measured from field opacity, which the plain frame produces
-    anyway. Hysteresis (re-enter culling only below PLAIN_EXIT) keeps
-    boundary jitter from flapping compiled programs. Auto mode therefore
-    never loses to plain-K on dense scenes and keeps the cull win on
-    sparse ones."""
+    plain ordered-tile program with ZERO auto-cull cost (no prepass — the
+    r4 ablation measured even a prepass+calibration-only bypass at 0.80x
+    plain). Plain mode watches for the scene turning sparse via the
+    field-visible block count (~µs) scaled by the field->proxy ratio
+    measured on the last culled frame; crossing PLAIN_EXIT schedules one
+    FULL culled frame that re-measures budget and eps with the real
+    prepass, so budget decisions only ever rest on prepass-measured
+    counts (a plain frame's field counts never feed the culled budget —
+    that shortcut measurably culled real foreground). Hysteresis
+    (EXIT < ENTER) keeps boundary jitter from flapping compiled programs.
+    Auto mode therefore matches plain-K on dense scenes and keeps the
+    cull win on sparse ones."""
     from nerf_siren_tpu.ops.pallas import proxy_march
 
     tile = proxy_march.TILE_R
@@ -809,58 +815,51 @@ def make_auto_cull_renderer(
             rgb = full[:, :block * 3].reshape(rp, 3)
             depth = full[:, block * 3: block * 4].reshape(rp)
             opacity = full[:, block * 4:].reshape(rp)
+            # field-visible blocks among the RENDERED blocks (culled blocks
+            # are presumed background, so this is the whole frame's count):
+            # the numerator of the field->proxy ratio plain mode uses for
+            # exit detection
+            rid_act = (order[:n_act_b][:, None] * block
+                       + jnp.arange(block)[None]).reshape(-1)
+            vis = (out[f"opacity_{model}"] > 0.01) & (rid_act < r)
+            n_vis_b = jnp.sum(jnp.any(vis.reshape(n_act_b, block), axis=1))
             return {f"rgb_{model}": rgb, f"depth_{model}": depth,
-                    f"opacity_{model}": opacity}, n_fg_b, eps_next
+                    f"opacity_{model}": opacity}, n_fg_b, eps_next, n_vis_b
         return run
 
     @functools.lru_cache(maxsize=None)
     def plain_program(n_act_b: int, chunk_b: int, rp: int, r: int):
-        """Dense-frame path: no rank/sort, no gather, no reassembly —
-        bit-identical output to render_rays_fast over ordered tiles.
+        """Dense-frame path: NO prepass, no rank/sort, no gather, no
+        reassembly — bit-identical output to render_rays_fast over ordered
+        tiles, at its cost (the r4 on-chip ablation measured the
+        prepass+calibration variant of this program at 0.80x plain —
+        the proxy march is not cheap at frame scale).
 
-        The PREPASS stays: the budget and eps that feed the next frame
-        must mean exactly what the culled program's mean (proxy-score
-        space, same thresholds), or the plain->culled transition culls
-        real foreground. First attempt measured the budget from field
-        opacity instead — on-chip the eps=0.01 spheres row then culled
-        20% of blocks after each plain frame and the worst pose collapsed
-        30.9 -> 21.1 dB agreement. The prepass is a tiny-MLP march
-        (~1-2% of frame time); the ~0.32 overhead the bypass removes
-        lives in the argsort + block gather + payload reassembly."""
+        The only extra work is the field-visibility block count (a
+        reshape+any+sum, ~µs), which drives plain-mode EXIT detection:
+        a plain frame never feeds the CULLED budget directly (that was
+        the first bypass attempt, and it culled real foreground —
+        worst pose 30.9 -> 21.1 dB on-chip, because field-opacity counts
+        and proxy-score counts live in different spaces). Instead the
+        caller estimates the proxy-space active fraction via the
+        field->proxy ratio measured on the last culled frame, and when
+        that estimate crosses PLAIN_EXIT it schedules a FULL culled
+        frame, which re-measures budget and eps with the real prepass —
+        so every frame any budget decision rests on is prepass-measured,
+        and transition frames render every block (zero quality risk)."""
         nblocks = n_act_b
 
         @jax.jit
         def run(rays8, eps_in):
-            opac = proxy_march.proxy_opacity(
-                packed_proxy, rays8.T, prepass_c)            # (Rp,)
-            opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
-            score = jnp.max(opac.reshape(nblocks, block), axis=1)
             tiles = rays8.reshape(nblocks // chunk_b, chunk_b * block, 8)
             out = jax.lax.map(
                 lambda t: render_rays_fast(params, proxy, t, **common),
                 tiles)
             out = {k: v.reshape(rp, *v.shape[2:]) for k, v in out.items()}
-            if auto_eps:
-                # identical two-sided calibration to frame_program (see
-                # there for the rationale), with order = identity
-                valid = jnp.arange(rp) < r
-                field_op = out[f"opacity_{model}"]
-                empty = (field_op < 0.01) & valid
-                occ = (field_op > 0.05) & valid
-                sub = lambda v: v.reshape(-1, 8)[:, 0]  # noqa: E731
-                pre_s = sub(opac)
-                eps_emp = jnp.nanquantile(
-                    jnp.where(sub(empty), pre_s, jnp.nan), 0.995)
-                eps_occ = jnp.nanquantile(
-                    jnp.where(sub(occ), pre_s, jnp.nan), 0.005)
-                eps_cal = jnp.clip(
-                    jnp.nanmin(jnp.stack([eps_emp, eps_occ])), 1e-4, 0.95)
-                eps_next = jnp.where(jnp.isnan(eps_cal), eps_in, eps_cal)
-            else:
-                eps_next = eps_in
-            thr = jnp.where(eps_next > 1.0, -0.5, eps_next)
-            n_fg_b = jnp.sum(score > thr)
-            return out, n_fg_b, eps_next
+            vis = ((out[f"opacity_{model}"] > 0.01)
+                   & (jnp.arange(rp) < r))
+            n_vis_b = jnp.sum(jnp.any(vis.reshape(nblocks, block), axis=1))
+            return out, n_vis_b, eps_in
         return run
 
     auto_eps = opacity_eps == "auto"
@@ -879,8 +878,12 @@ def make_auto_cull_renderer(
     # programs (each flap costs a compile).
     PLAIN_ENTER = 0.70
     PLAIN_EXIT = 0.65
-    # previous frame's block count + calibrated eps (device arrays)
-    budget = {"n_fg_b": None, "plain": False,
+    # previous frame's block counts + calibrated eps (device arrays);
+    # `ratio` is the field-visible -> proxy-foreground block-count ratio
+    # measured on the last culled/full frame (proxy overpredicts, so
+    # ratio >= 1) — plain frames multiply their cheap field count by it
+    # to estimate the proxy-space active fraction without a prepass
+    budget = {"n_fg_b": None, "n_vis_b": None, "plain": False, "ratio": 1.0,
               "eps": None if auto_eps else jnp.float32(opacity_eps)}
 
     def render(rays: jax.Array) -> Dict[str, jax.Array]:
@@ -889,20 +892,29 @@ def make_auto_cull_renderer(
         nblocks = rp // block
         # budget quantum in blocks; chunk_b*block stays a TILE_R multiple
         quantum_b = -(-nblocks // (levels * blocks_per_tile)) * blocks_per_tile
+
+        def quantized_act(fg_b):
+            return max(quantum_b,
+                       -(-int(fg_b * margin) // quantum_b) * quantum_b)
+
         plain = False
         if budget["n_fg_b"] is None:
-            # first frame: always the FULL program — it renders every ray
-            # AND calibrates eps / measures the first budget via the prepass
+            # first frame (or forced re-probe after a plain exit): the FULL
+            # culled program — renders every ray AND measures budget, eps,
+            # and the field->proxy ratio via the real prepass
             n_act_b = nblocks
             if budget["eps"] is None:
                 budget["eps"] = jnp.float32(2.0)  # frame-1 fallback: cull
                 # nothing until the full render has calibrated a real eps
+        elif budget["plain"]:
+            plain = True                         # exit decided post-render
+            n_act_b = nblocks
         else:
             n_fg_b = int(budget["n_fg_b"])      # deferred, cheap fetch
-            n_act_b = max(quantum_b,
-                          -(-int(n_fg_b * margin) // quantum_b) * quantum_b)
-            frac = n_act_b / nblocks
-            plain = frac >= (PLAIN_EXIT if budget["plain"] else PLAIN_ENTER)
+            n_vis_b = int(budget["n_vis_b"])
+            budget["ratio"] = n_fg_b / max(n_vis_b, 1)
+            n_act_b = quantized_act(n_fg_b)
+            plain = n_act_b / nblocks >= PLAIN_ENTER
         budget["plain"] = plain
         if plain or n_act_b >= nblocks:
             # full/plain frame: pad up to a quantum_b multiple rather
@@ -916,9 +928,18 @@ def make_auto_cull_renderer(
         else:
             chunk_b = quantum_b
         rays8 = jnp.pad(jnp.asarray(rays, jnp.float32), ((0, rp - r), (0, 0)))
-        program = (plain_program if plain else frame_program)(
-            n_act_b, chunk_b, rp, r)
-        out, budget["n_fg_b"], budget["eps"] = program(rays8, budget["eps"])
+        if plain:
+            out, n_vis_dev, _ = plain_program(
+                n_act_b, chunk_b, rp, r)(rays8, budget["eps"])
+            est_fg_b = int(n_vis_dev) * budget["ratio"]
+            if quantized_act(est_fg_b) / nblocks < PLAIN_EXIT:
+                # scene turned sparse: schedule a full culled frame, which
+                # re-measures budget/eps/ratio with the real prepass
+                budget["n_fg_b"] = None
+                budget["plain"] = False
+        else:
+            out, budget["n_fg_b"], budget["eps"], budget["n_vis_b"] = \
+                frame_program(n_act_b, chunk_b, rp, r)(rays8, budget["eps"])
         render.last_active_frac = n_act_b / nblocks   # diagnostics
         render.last_plain = plain
         render.last_eps = budget["eps"]

@@ -309,52 +309,38 @@ def make_fast_eg3d_renderer(
             inv = jnp.argsort(order)                         # rank of block b
             take = jnp.where(inv < n_act_b, inv, n_act_b)
             full = payload[take]                             # (nblocks, 5B)
+            # field-visible blocks among the rendered blocks: numerator of
+            # the field->proxy ratio plain mode uses for exit detection
+            rid_act = (order[:n_act_b][:, None] * block
+                       + jnp.arange(block)[None]).reshape(-1)
+            vis = (opac_a > 0.01) & (rid_act < r)
+            n_vis_b = jnp.sum(jnp.any(vis.reshape(n_act_b, block), axis=1))
             return {"rgb_fine": full[:, :block * 3].reshape(rp, 3),
                     "depth_fine": full[:, block * 3:block * 4].reshape(rp),
                     "opacity_fine": full[:, block * 4:].reshape(rp)
-                    }, n_fg_b, eps_next
+                    }, n_fg_b, eps_next, n_vis_b
         return run
 
     @functools.lru_cache(maxsize=None)
     def plain_program(rp: int, r: int):
-        """Dense-frame bypass (round 4, mirrors render/fast.py): no sort,
-        no gather, no reassembly — bit-identical to render_plain. The
-        PREPASS stays so the budget and eps handed to the next frame mean
-        exactly what the culled program's mean (proxy-score space, same
-        thresholds); measuring the budget from field opacity instead was
-        tried on the NeRF side and culled real foreground after every
-        plain frame (worst pose 30.9 -> 21.1 dB on-chip). The removed
-        overhead lives in the argsort + block gather + reassembly."""
+        """Dense-frame bypass (round 4, mirrors render/fast.py): no
+        prepass, no sort, no gather, no reassembly — bit-identical to
+        render_plain. The only extra work is the field-visibility block
+        count, which drives plain-mode exit DETECTION only: crossing
+        PLAIN_EXIT (after scaling by the field->proxy ratio of the last
+        culled frame) schedules a FULL culled re-probe that re-measures
+        budget and eps with the real prepass. Field counts never feed the
+        culled budget directly — that shortcut measurably culled real
+        foreground on the NeRF side (worst pose 30.9 -> 21.1 dB)."""
         nblocks = rp // block
 
         @jax.jit
         def run(rays, eps_in):
-            rays8 = prep_rays8(rays, rp)
-            opac = proxy_march.proxy_opacity(packed_proxy, rays8.T, prepass_c)
-            opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
-            score = jnp.max(opac.reshape(nblocks, block), axis=1)
-            rgb, depth, opacity = render_core(rays8)
-            if auto_eps:
-                # identical two-sided calibration to frame_program (see
-                # there for the rationale), with order = identity
-                valid = jnp.arange(rp) < r
-                empty = (opacity < 0.01) & valid
-                occ = (opacity > 0.05) & valid
-                sub = lambda v: v.reshape(-1, 8)[:, 0]  # noqa: E731
-                pre_s = sub(opac)
-                eps_emp = jnp.nanquantile(
-                    jnp.where(sub(empty), pre_s, jnp.nan), 0.995)
-                eps_occ = jnp.nanquantile(
-                    jnp.where(sub(occ), pre_s, jnp.nan), 0.005)
-                eps_cal = jnp.clip(
-                    jnp.nanmin(jnp.stack([eps_emp, eps_occ])), 1e-4, 0.95)
-                eps_next = jnp.where(jnp.isnan(eps_cal), eps_in, eps_cal)
-            else:
-                eps_next = eps_in
-            thr = jnp.where(eps_next > 1.0, -0.5, eps_next)
-            n_fg_b = jnp.sum(score > thr)
+            rgb, depth, opacity = render_core(prep_rays8(rays, rp))
+            vis = (opacity > 0.01) & (jnp.arange(rp) < r)
+            n_vis_b = jnp.sum(jnp.any(vis.reshape(nblocks, block), axis=1))
             return {"rgb_fine": rgb, "depth_fine": depth,
-                    "opacity_fine": opacity}, n_fg_b, eps_next
+                    "opacity_fine": opacity}, n_vis_b, eps_in
         return run
 
     auto_eps = opacity_eps == "auto"
@@ -365,8 +351,10 @@ def make_fast_eg3d_renderer(
     # flapping at the boundary (each flap costs a compile).
     PLAIN_ENTER = 0.80
     PLAIN_EXIT = 0.75
-    # previous frame's block count + calibrated eps (device arrays)
-    budget = {"n_fg_b": None, "plain": False,
+    # previous frame's block counts + calibrated eps (device arrays);
+    # `ratio` = field-visible -> proxy-foreground block ratio from the
+    # last culled frame (see render/fast.py)
+    budget = {"n_fg_b": None, "n_vis_b": None, "plain": False, "ratio": 1.0,
               "eps": None if auto_eps else jnp.float32(opacity_eps)}
 
     def render_culled(rays: jax.Array) -> Dict[str, jax.Array]:
@@ -375,27 +363,42 @@ def make_fast_eg3d_renderer(
         nblocks = rp // block
         # budget quantum in blocks; n_act_b*block stays a TILE_R multiple
         quantum_b = -(-nblocks // (levels * blocks_per_tile)) * blocks_per_tile
+
+        def quantized_act(fg_b):
+            return min(nblocks,
+                       max(quantum_b,
+                           -(-int(fg_b * cull_margin) // quantum_b)
+                           * quantum_b))
+
         plain = False
         if budget["n_fg_b"] is None:
-            # first frame: always the FULL culled program — it renders
-            # every ray AND calibrates eps via the prepass
+            # first frame (or forced re-probe): the FULL culled program —
+            # renders every ray AND measures budget/eps/ratio via the
+            # real prepass
             n_act_b = nblocks
             if budget["eps"] is None:
                 budget["eps"] = jnp.float32(2.0)  # frame-1 fallback: cull
                 # nothing until the full render has calibrated a real eps
+        elif budget["plain"]:
+            plain = True                        # exit decided post-render
+            n_act_b = nblocks
         else:
             n_fg_b = int(budget["n_fg_b"])      # deferred, cheap fetch
-            n_act_b = max(quantum_b,
-                          -(-int(n_fg_b * cull_margin) // quantum_b)
-                          * quantum_b)
-            frac = min(n_act_b, nblocks) / nblocks
-            plain = frac >= (PLAIN_EXIT if budget["plain"] else PLAIN_ENTER)
+            n_vis_b = int(budget["n_vis_b"])
+            budget["ratio"] = n_fg_b / max(n_vis_b, 1)
+            n_act_b = quantized_act(n_fg_b)
+            plain = n_act_b / nblocks >= PLAIN_ENTER
         budget["plain"] = plain
-        n_act_b = min(n_act_b, nblocks)
-        program = (plain_program(rp, r) if plain
-                   else frame_program(n_act_b, rp, r))
-        out, budget["n_fg_b"], budget["eps"] = program(
-            jnp.asarray(rays, jnp.float32), budget["eps"])
+        rays_j = jnp.asarray(rays, jnp.float32)
+        if plain:
+            out, n_vis_dev, _ = plain_program(rp, r)(rays_j, budget["eps"])
+            est_fg_b = int(n_vis_dev) * budget["ratio"]
+            if quantized_act(est_fg_b) / nblocks < PLAIN_EXIT:
+                budget["n_fg_b"] = None         # full culled re-probe next
+                budget["plain"] = False
+        else:
+            out, budget["n_fg_b"], budget["eps"], budget["n_vis_b"] = \
+                frame_program(n_act_b, rp, r)(rays_j, budget["eps"])
         render_culled.last_active_frac = 1.0 if plain else n_act_b / nblocks
         render_culled.last_plain = plain
         render_culled.last_eps = budget["eps"]

@@ -352,11 +352,31 @@ def test_auto_cull_dense_frame_bypass(proxy):
         np.testing.assert_allclose(np.asarray(second[key]),
                                    np.asarray(plain_ref[key]),
                                    rtol=0, atol=1e-6)
-    third = auto(rays)                        # budget measured from FIELD
-    assert auto.last_plain is True            # opacity keeps it plain
+    third = auto(rays)                        # field-vis estimate says stay
+    assert auto.last_plain is True
     np.testing.assert_allclose(np.asarray(third["rgb_fine"]),
                                np.asarray(plain_ref["rgb_fine"]),
                                rtol=0, atol=1e-6)
+
+    # plain-mode EXIT: a pose whose rays render (near-)empty drops the
+    # field-visible estimate below PLAIN_EXIT -> the renderer schedules a
+    # FULL culled re-probe (renders every block, zero quality risk) and
+    # leaves plain mode
+    rays_miss = np.asarray(rays).copy()
+    rays_miss[:, 6] = 1.0                     # degenerate [near, far]:
+    rays_miss[:, 7] = 1.0 + 1e-6              # delta~0 -> alpha~0 everywhere
+    rays_miss = jnp.asarray(rays_miss)
+    miss_plain = auto(rays_miss)              # still plain; detects sparse
+    assert auto.last_plain is True
+    probe = auto(rays_miss)                   # forced FULL culled re-probe
+    assert auto.last_plain is False
+    assert auto.last_active_frac == 1.0
+    ref_miss = render_rays_fast(params, proxy, rays_miss, select="pdf",
+                                **common)
+    for out in (miss_plain, probe):
+        np.testing.assert_allclose(np.asarray(out["rgb_fine"]),
+                                   np.asarray(ref_miss["rgb_fine"]),
+                                   rtol=0, atol=1e-6)
 
     # sparse scene: an impossible per-ray field (sigma pushed far negative)
     # must leave plain mode once the plain frame measures zero foreground
