@@ -907,8 +907,18 @@ def make_auto_cull_renderer(
                 budget["eps"] = jnp.float32(2.0)  # frame-1 fallback: cull
                 # nothing until the full render has calibrated a real eps
         elif budget["plain"]:
-            plain = True                         # exit decided post-render
+            # exit check on the PREVIOUS plain frame's vis count — a
+            # deferred fetch of an already-computed scalar, NOT a sync on
+            # the in-flight frame (the synchronous variant measured 0.73x
+            # plain on the tunnel: the fetch serialized every frame)
             n_act_b = nblocks
+            plain = True
+            if budget["n_vis_b"] is not None:
+                est_fg_b = int(budget["n_vis_b"]) * budget["ratio"]
+                if quantized_act(est_fg_b) / nblocks < PLAIN_EXIT:
+                    # scene turned sparse: run the FULL culled program NOW
+                    # (renders every block; re-measures budget/eps/ratio)
+                    plain = False
         else:
             n_fg_b = int(budget["n_fg_b"])      # deferred, cheap fetch
             n_vis_b = int(budget["n_vis_b"])
@@ -929,14 +939,8 @@ def make_auto_cull_renderer(
             chunk_b = quantum_b
         rays8 = jnp.pad(jnp.asarray(rays, jnp.float32), ((0, rp - r), (0, 0)))
         if plain:
-            out, n_vis_dev, _ = plain_program(
+            out, budget["n_vis_b"], _ = plain_program(
                 n_act_b, chunk_b, rp, r)(rays8, budget["eps"])
-            est_fg_b = int(n_vis_dev) * budget["ratio"]
-            if quantized_act(est_fg_b) / nblocks < PLAIN_EXIT:
-                # scene turned sparse: schedule a full culled frame, which
-                # re-measures budget/eps/ratio with the real prepass
-                budget["n_fg_b"] = None
-                budget["plain"] = False
         else:
             out, budget["n_fg_b"], budget["eps"], budget["n_vis_b"] = \
                 frame_program(n_act_b, chunk_b, rp, r)(rays8, budget["eps"])

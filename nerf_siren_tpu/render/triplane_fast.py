@@ -380,8 +380,15 @@ def make_fast_eg3d_renderer(
                 budget["eps"] = jnp.float32(2.0)  # frame-1 fallback: cull
                 # nothing until the full render has calibrated a real eps
         elif budget["plain"]:
-            plain = True                        # exit decided post-render
+            # exit check on the PREVIOUS plain frame's vis count — a
+            # deferred fetch, never a sync on the in-flight frame (see
+            # render/fast.py: the synchronous variant serialized frames)
             n_act_b = nblocks
+            plain = True
+            if budget["n_vis_b"] is not None:
+                est_fg_b = int(budget["n_vis_b"]) * budget["ratio"]
+                if quantized_act(est_fg_b) / nblocks < PLAIN_EXIT:
+                    plain = False               # FULL culled re-probe now
         else:
             n_fg_b = int(budget["n_fg_b"])      # deferred, cheap fetch
             n_vis_b = int(budget["n_vis_b"])
@@ -391,11 +398,8 @@ def make_fast_eg3d_renderer(
         budget["plain"] = plain
         rays_j = jnp.asarray(rays, jnp.float32)
         if plain:
-            out, n_vis_dev, _ = plain_program(rp, r)(rays_j, budget["eps"])
-            est_fg_b = int(n_vis_dev) * budget["ratio"]
-            if quantized_act(est_fg_b) / nblocks < PLAIN_EXIT:
-                budget["n_fg_b"] = None         # full culled re-probe next
-                budget["plain"] = False
+            out, budget["n_vis_b"], _ = plain_program(rp, r)(
+                rays_j, budget["eps"])
         else:
             out, budget["n_fg_b"], budget["eps"], budget["n_vis_b"] = \
                 frame_program(n_act_b, rp, r)(rays_j, budget["eps"])
