@@ -731,7 +731,10 @@ def make_auto_cull_renderer(
         bg = 1.0 if white_back else 0.0
 
         @jax.jit
-        def run(rays8, eps_in):
+        def run(rays, eps_in):
+            # pad INSIDE the program: on the tunneled runtime every eager
+            # dispatch (pad, output slices) costs a host round trip
+            rays8 = jnp.pad(rays, ((0, rp - rays.shape[0]), (0, 0)))
             opac = proxy_march.proxy_opacity(
                 packed_proxy, rays8.T, prepass_c)            # (Rp,)
             opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
@@ -823,8 +826,9 @@ def make_auto_cull_renderer(
                        + jnp.arange(block)[None]).reshape(-1)
             vis = (out[f"opacity_{model}"] > 0.01) & (rid_act < r)
             n_vis_b = jnp.sum(jnp.any(vis.reshape(n_act_b, block), axis=1))
-            return {f"rgb_{model}": rgb, f"depth_{model}": depth,
-                    f"opacity_{model}": opacity}, n_fg_b, eps_next, n_vis_b
+            return ({f"rgb_{model}": rgb[:r], f"depth_{model}": depth[:r],
+                     f"opacity_{model}": opacity[:r]},
+                    n_fg_b, eps_next, n_vis_b)
         return run
 
     @functools.lru_cache(maxsize=None)
@@ -850,7 +854,8 @@ def make_auto_cull_renderer(
         nblocks = n_act_b
 
         @jax.jit
-        def run(rays8, eps_in):
+        def run(rays, eps_in):
+            rays8 = jnp.pad(rays, ((0, rp - rays.shape[0]), (0, 0)))
             tiles = rays8.reshape(nblocks // chunk_b, chunk_b * block, 8)
             out = jax.lax.map(
                 lambda t: render_rays_fast(params, proxy, t, **common),
@@ -859,7 +864,7 @@ def make_auto_cull_renderer(
             vis = ((out[f"opacity_{model}"] > 0.01)
                    & (jnp.arange(rp) < r))
             n_vis_b = jnp.sum(jnp.any(vis.reshape(nblocks, block), axis=1))
-            return out, n_vis_b, eps_in
+            return ({k: v[:r] for k, v in out.items()}, n_vis_b, eps_in)
         return run
 
     auto_eps = opacity_eps == "auto"
@@ -937,17 +942,17 @@ def make_auto_cull_renderer(
             n_act_b, chunk_b = nblocks, quantum_b  # is a blocks_per_tile mult
         else:
             chunk_b = quantum_b
-        rays8 = jnp.pad(jnp.asarray(rays, jnp.float32), ((0, rp - r), (0, 0)))
+        rays_j = jnp.asarray(rays, jnp.float32)  # pad/slice live in-program
         if plain:
             out, budget["n_vis_b"], _ = plain_program(
-                n_act_b, chunk_b, rp, r)(rays8, budget["eps"])
+                n_act_b, chunk_b, rp, r)(rays_j, budget["eps"])
         else:
             out, budget["n_fg_b"], budget["eps"], budget["n_vis_b"] = \
-                frame_program(n_act_b, chunk_b, rp, r)(rays8, budget["eps"])
+                frame_program(n_act_b, chunk_b, rp, r)(rays_j, budget["eps"])
         render.last_active_frac = n_act_b / nblocks   # diagnostics
         render.last_plain = plain
         render.last_eps = budget["eps"]
-        return {k: v[:r] for k, v in out.items()}
+        return out
 
     render.last_active_frac = None
     render.last_plain = None

@@ -315,10 +315,11 @@ def make_fast_eg3d_renderer(
                        + jnp.arange(block)[None]).reshape(-1)
             vis = (opac_a > 0.01) & (rid_act < r)
             n_vis_b = jnp.sum(jnp.any(vis.reshape(n_act_b, block), axis=1))
-            return {"rgb_fine": full[:, :block * 3].reshape(rp, 3),
-                    "depth_fine": full[:, block * 3:block * 4].reshape(rp),
-                    "opacity_fine": full[:, block * 4:].reshape(rp)
-                    }, n_fg_b, eps_next, n_vis_b
+            return ({"rgb_fine": full[:, :block * 3].reshape(rp, 3)[:r],
+                     "depth_fine":
+                         full[:, block * 3:block * 4].reshape(rp)[:r],
+                     "opacity_fine": full[:, block * 4:].reshape(rp)[:r]},
+                    n_fg_b, eps_next, n_vis_b)
         return run
 
     @functools.lru_cache(maxsize=None)
@@ -339,8 +340,8 @@ def make_fast_eg3d_renderer(
             rgb, depth, opacity = render_core(prep_rays8(rays, rp))
             vis = (opacity > 0.01) & (jnp.arange(rp) < r)
             n_vis_b = jnp.sum(jnp.any(vis.reshape(nblocks, block), axis=1))
-            return {"rgb_fine": rgb, "depth_fine": depth,
-                    "opacity_fine": opacity}, n_vis_b, eps_in
+            return ({"rgb_fine": rgb[:r], "depth_fine": depth[:r],
+                     "opacity_fine": opacity[:r]}, n_vis_b, eps_in)
         return run
 
     auto_eps = opacity_eps == "auto"
@@ -406,7 +407,7 @@ def make_fast_eg3d_renderer(
         render_culled.last_active_frac = 1.0 if plain else n_act_b / nblocks
         render_culled.last_plain = plain
         render_culled.last_eps = budget["eps"]
-        return {k: v[:r] for k, v in out.items()}
+        return out                   # outputs pre-sliced inside the programs
 
     render_culled.proxy = proxy
     render_culled.last_active_frac = None
