@@ -59,7 +59,11 @@ for s in $STAGES; do
                 --out docs/fused_train_parity_seed1.json ;;
     eg3d)     run_stage eg3d     7200 python tools/eg3d_fast_frontier.py \
                 --steps 5000 ;;
-    siren)    run_stage siren    5400 python tools/siren_convergence.py ;;
+    # --scan_chunk 100: the default 500-step scanned program with the
+    # SIREN field crashed the TPU worker twice in r4 ("kernel fault");
+    # the single-step and 100-step programs run fine
+    siren)    run_stage siren    5400 python tools/siren_convergence.py \
+                --scan_chunk 100 ;;
     semantic) run_stage semantic 3600 python tools/semantic_convergence.py ;;
     # round-3 follow-ons: delta-vs-ratio quadrature pairs + re-measure of
     # the auto-cull rows under the two-sided eps calibration (both merge
