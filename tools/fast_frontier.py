@@ -587,29 +587,36 @@ def main():
               f"gt {row['psnr_vs_gt']:6.2f} dB", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    if (args.ratio_only or args.int8_only) and os.path.exists(args.out):
-        # append/refresh the measured rows inside the existing sweeps
+    if (args.ratio_only or args.int8_only or args.fused_only
+            or args.auto_only) and os.path.exists(args.out):
+        # append/refresh the measured rows inside the existing sweeps.
+        # ROW-wise merge for every partial mode: a wholesale list replace
+        # (the old fused_only/auto_only path) silently destroyed rows a
+        # previous partial run had merged (r4: an auto_only re-measure
+        # wiped the int8 auto rows). prepass_candidates is part of the
+        # key — pp=8 and pp=16 twins are distinct operating points.
         with open(args.out) as f:
             merged = json.load(f)
 
         def _key(row):
             return tuple(str(row.get(f)) for f in (
                 "select", "n_candidates", "n_keep", "adaptive", "cull",
-                "placement", "quadrature", "margin", "opacity_eps")
+                "placement", "quadrature", "margin", "opacity_eps",
+                "prepass_candidates")
             ) + (str(row.get("field_dtype") or "bf16"),)
 
-        for field in ("fused_adaptive_configs", "auto_cull_configs"):
+        for field in ("configs", "fused_adaptive_configs",
+                      "auto_cull_configs"):
             fresh = {_key(r): r for r in results.get(field, [])}
             kept = [r for r in merged.get(field, [])
                     if _key(r) not in fresh]
             merged[field] = kept + list(fresh.values())
-        results = merged
-    elif (args.fused_only or args.auto_only) and os.path.exists(args.out):
-        with open(args.out) as f:
-            merged = json.load(f)
-        # keep every existing sweep this run skipped
+        # non-sweep fields (train_psnr, exact, poses): fresh wins
         merged.update({k: v for k, v in results.items()
-                       if not (isinstance(v, list) and not v)})
+                       if not isinstance(v, list)
+                       and k not in ("configs", "fused_adaptive_configs",
+                                     "auto_cull_configs")})
+        merged["poses"] = results.get("poses") or merged.get("poses")
         results = merged
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
