@@ -404,6 +404,12 @@ def make_fast_eg3d_renderer(
         else:
             out, budget["n_fg_b"], budget["eps"], budget["n_vis_b"] = \
                 frame_program(n_act_b, rp, r)(rays_j, budget["eps"])
+        for key in ("n_fg_b", "n_vis_b"):
+            # async host copy: next frame's int() reads a host-resident
+            # value instead of a blocking per-frame round trip (see
+            # render/fast.py)
+            if hasattr(budget[key], "copy_to_host_async"):
+                budget[key].copy_to_host_async()
         render_culled.last_active_frac = 1.0 if plain else n_act_b / nblocks
         render_culled.last_plain = plain
         render_culled.last_eps = budget["eps"]
