@@ -91,12 +91,12 @@ def get_opts(args=None):
                              "(survivor eval) and --renderer fused "
                              "(full-frame quantized eval): "
                              "'int8' runs the 8x256 trunk on the MXU's "
-                             "int8 path (ops/pallas/fused_mlp_int8.py, "
-                             "~2.4x the bf16 matmul chain; dynamic "
-                             "per-point activation scales, no "
-                             "calibration). Quality cost measured in "
-                             "docs/int8_quality.json / the frontier "
-                             "field_dtype=int8 rows")
+                             "int8 path (ops/pallas/fused_mlp_int8.py; "
+                             "dynamic per-point activation scales, no "
+                             "calibration; +5-12%% end-to-end on dense "
+                             "frames at <=0.03 dB cost). Quality "
+                             "measured in docs/int8_quality.json / the "
+                             "frontier field_dtype=int8 rows")
     parser.add_argument('--fast_quadrature', type=str, default='delta',
                         choices=['delta', 'ratio'],
                         help="fast-path alpha integration: 'delta' = "

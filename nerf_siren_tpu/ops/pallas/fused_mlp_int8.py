@@ -3,9 +3,15 @@
 Why: BASELINE.md's FLOP-arithmetic section shows dense (~40%+-foreground)
 frames are compute-bound past ~4.7M rays/s @ 32 dB for any renderer that
 evaluates the full 8x256 field per survivor in bf16 — the MXU's int8 mode
-is the only remaining lever. Measured in-kernel on the v5e (round 3,
-docs/status.md): an int8 layer chain with full requant epilogue runs 2.39x
-the bf16 chain (raw int8 2.78x).
+is the only remaining lever. Measured in-kernel on the v5e: the r3
+STATIC-scale chain ran 2.39x the bf16 chain (raw int8 2.78x); this
+DYNAMIC-scale chain runs 1.09x (tools/int8_kernel_bench.py, r4) — the
+per-layer cross-sublane max reduce + rank-1 epilogue eats most of the
+matmul win, but static scales were measured unusable on trained scenes
+(see below), so 1.09x in-kernel / +5-12% end-to-end at zero quality cost
+is the honest operating point. Next lever if more is needed: a coarser
+or folded dynamic reduce (e.g. strided row subsample, or reusing the
+previous layer's bound).
 
 What is quantized (tools/int8_quality.py measures the rendered-quality cost
 of each candidate recipe on a trained scene; docs/int8_quality.json):
