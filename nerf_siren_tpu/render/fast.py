@@ -588,6 +588,119 @@ def render_rays_fast(
     return out
 
 
+def make_edge_refined_renderer(
+    base_render: Callable[[jax.Array], Dict[str, jax.Array]],
+    packed: Dict[str, Any],
+    img_hw: Tuple[int, int],
+    *,
+    nerf_cfg: NeRFConfig = NeRFConfig(),
+    white_back: bool = False,
+    n_samples: int = 48,
+    n_importance: int = 16,
+    cap_frac: float = 0.04,
+    thr: float = 0.03,
+    chunk: int = 8192,
+    model: str = "fine",
+) -> Callable[[jax.Array], Dict[str, jax.Array]]:
+    """Silhouette-edge refinement pass over any full-frame fast renderer.
+
+    Round-5 finding (docs/fast_gap_diagnosis.json): the fast path's 0.4-0.5 dB
+    GT deficit vs the exact render is NOT diffuse quadrature error — 96.4% of
+    the fast-vs-exact squared error lives in the 2.7% of pixels on
+    silhouette/depth edges, where grazing rays cross surfaces tangentially
+    and K CDF-placed samples cannot resolve the crossing. Every volumetric
+    fix measured a dead end: trapezoid/supersampled interval optical depth
+    collapses the image (17/19 dB — accurate absorption gets attributed to
+    the empty-space sample BEFORE the surface, compositing unconstrained
+    rgb; the left-rectangle delta rule is load-bearing), uniform coverage
+    and CDF floors cost quality, two-stage hierarchical resampling saturates
+    at -0.29 dB, and K/C scaling saturates at -0.39.
+
+    What does hold the +-0.1 dB bar is the reference algorithm itself at
+    reduced counts: exact 48+16 renders +0.03 dB mean / -0.075 worst-pose
+    vs the full 64+64 render (4-pose cluster measurement). So: render the
+    frame fast, detect the edge band on the fast render's own opacity/depth
+    maps (image-space 4-neighbor gradients + one 3x3 dilation), gather the
+    top `cap_frac` of rays by edge score, re-render ONLY those through the
+    exact-lite fused path (render_rays_fused at n_samples+n_importance),
+    and scatter the result back. Expected-cost arithmetic: 4% of rays at
+    ~90 eval-units over a K=16 base is ~+28% frame cost for a ~10x drop in
+    fast-vs-exact error power.
+
+    The refinement is ONE additional jitted program per frame (static
+    n_edge capacity), device-resident end to end — no host sync between the
+    base render and the refinement. Rays must be a full scanline-ordered
+    (H*W, 8) frame matching `img_hw`.
+
+    Reference surface: this replaces nothing in the reference — it is the
+    TPU-native answer to the driver's speed-at-parity bar
+    (reference README.md:136-145 claims speed; models/rendering.py:162-190
+    defines the quadrature both paths share).
+    """
+    H, W = img_hw
+    rp = H * W
+    n_edge = max(chunk, -(-int(cap_frac * rp) // chunk) * chunk)
+    n_edge = min(n_edge, -(-rp // chunk) * chunk)
+    from nerf_siren_tpu.render.fused import render_rays_fused
+    cfg_lite = RenderConfig(
+        n_samples=n_samples, n_importance=n_importance, perturb=0.0,
+        noise_std=0.0, white_back=white_back, test_time=True)
+
+    @jax.jit
+    def refine(rays, rgb, depth, opacity):
+        o = opacity.reshape(H, W)
+        doz = (depth * opacity).reshape(H, W)
+
+        def grad4(m):
+            dx = jnp.abs(jnp.diff(m, axis=1))
+            dy = jnp.abs(jnp.diff(m, axis=0))
+            z1 = jnp.zeros((H, 1), m.dtype)
+            z0 = jnp.zeros((1, W), m.dtype)
+            return jnp.maximum(
+                jnp.maximum(jnp.concatenate([dx, z1], 1),
+                            jnp.concatenate([z1, dx], 1)),
+                jnp.maximum(jnp.concatenate([dy, z0], 0),
+                            jnp.concatenate([z0, dy], 0)))
+
+        g = jnp.maximum(grad4(o), 0.5 * grad4(doz))
+        # one 3x3 dilation widens the band to cover both edge flanks
+        g = jax.lax.reduce_window(g, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+                                  "SAME")
+        score = g.reshape(-1)
+        idx = jax.lax.slice_in_dim(jnp.argsort(-score), 0, n_edge)
+        valid = score[idx] > thr
+        rays_e = rays[idx]
+        tiles = rays_e.reshape(n_edge // chunk, chunk, 8)
+        out_e = jax.lax.map(
+            lambda t: render_rays_fused(packed, t, cfg_lite,
+                                        nerf_cfg=nerf_cfg), tiles)
+        rgb_e = out_e["rgb_fine"].reshape(n_edge, 3)
+        depth_e = out_e["depth_fine"].reshape(n_edge)
+        opac_e = out_e["opacity_fine"].reshape(n_edge)
+        rgb = rgb.at[idx].set(jnp.where(valid[:, None], rgb_e, rgb[idx]))
+        depth = depth.at[idx].set(jnp.where(valid, depth_e, depth[idx]))
+        opacity = opacity.at[idx].set(jnp.where(valid, opac_e, opacity[idx]))
+        n_refined = jnp.sum(valid)
+        return rgb, depth, opacity, n_refined
+
+    def render(rays: jax.Array) -> Dict[str, jax.Array]:
+        assert rays.shape[0] == rp, \
+            f"edge refinement needs the full {img_hw} frame"
+        out = dict(base_render(rays))
+        rgb, depth, opac, n_ref = refine(
+            rays, out[f"rgb_{model}"], out[f"depth_{model}"],
+            out[f"opacity_{model}"])
+        out[f"rgb_{model}"] = rgb
+        out[f"depth_{model}"] = depth
+        out[f"opacity_{model}"] = opac
+        render.last_refined = n_ref          # device scalar; diagnostics
+        return out
+
+    render.last_refined = None
+    render.n_edge = n_edge
+    return render
+
+
 def estimate_scene_aabb(sigma_fn: Callable[[jax.Array], jax.Array],
                         search_min, search_max, resolution: int = 64,
                         threshold: float = 5.0, margin: float = 0.05):

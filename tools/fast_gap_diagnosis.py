@@ -50,7 +50,11 @@ def main():
     ap.add_argument("--hw", type=int, default=800)
     ap.add_argument("--out", type=str, default="docs/fast_gap_diagnosis.json")
     ap.add_argument("--phase2_only", action="store_true")
+    ap.add_argument("--phase4_only", action="store_true",
+                    help="exact 64+64 anchor + edge-refined variants only")
     args = ap.parse_args()
+    if args.phase4_only:
+        args.phase2_only = True
 
     import jax
     import jax.numpy as jnp
@@ -143,8 +147,9 @@ def main():
     run_variant("exact 64+64", exact_frame(64))
     exact_rgbs = [np.asarray(exact_frame(64)(pt)).reshape(-1, 3)
                   for pt in pose_tiles]
-    for j in (32, 16, 8):
-        run_variant(f"exact 64+{j}", exact_frame(j), exact_rgbs)
+    if not args.phase4_only:
+        for j in (32, 16, 8):
+            run_variant(f"exact 64+{j}", exact_frame(j), exact_rgbs)
 
     # ---- controlled fast variants (jnp pdf path re-implemented with knobs) -
     def fast_frame(C=32, K=16, score="proxy", ufrac=0.0, extra_u=0,
@@ -280,113 +285,151 @@ def main():
     # left-rectangle delta rule is load-bearing, so the gap is NOT an
     # integration-rule problem) --------------------------------------------
 
-    # ---- phase 3: hierarchical second stage --------------------------------
-    # exact 64+16 holds -0.05 dB because its fine CDF comes from a
-    # COMPOSITED field backbone and the backbone samples stay in the
-    # composite. Reproduce that structure at fast-path cost: proxy pdf
-    # places K1, the field evaluates them, their delta-rule weights build a
-    # SECOND CDF, K2 more samples, composite ALL K1+K2 merged.
-    def two_stage_frame(C=32, K1=16, K2=16, fdtype=jnp.bfloat16):
+    if not args.phase4_only:
+        # ---- phase 3: hierarchical second stage --------------------------------
+        # exact 64+16 holds -0.05 dB because its fine CDF comes from a
+        # COMPOSITED field backbone and the backbone samples stay in the
+        # composite. Reproduce that structure at fast-path cost: proxy pdf
+        # places K1, the field evaluates them, their delta-rule weights build a
+        # SECOND CDF, K2 more samples, composite ALL K1+K2 merged.
+        def two_stage_frame(C=32, K1=16, K2=16, fdtype=jnp.bfloat16):
+            @jax.jit
+            def f(tiles):
+                def g(rays):
+                    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+                    near, far = rays[:, 6:7], rays[:, 7:8]
+                    dirn = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+                    r = rays.shape[0]
+                    lo = jnp.asarray(aabb[0], jnp.float32)
+                    hi = jnp.asarray(aabb[1], jnp.float32)
+                    invd = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
+                    t_lo, t_hi = (lo - rays_o) * invd, (hi - rays_o) * invd
+                    t_min = jnp.max(jnp.minimum(t_lo, t_hi), -1, keepdims=True)
+                    t_max = jnp.min(jnp.maximum(t_lo, t_hi), -1, keepdims=True)
+                    hits = t_max > jnp.maximum(t_min, 0.0)
+                    near_c = jnp.where(hits, jnp.clip(t_min, near, far), near)
+                    far_c = jnp.where(hits, jnp.clip(t_max, near, far), far)
+                    t = jnp.linspace(0.0, 1.0, C)
+                    z = near_c * (1 - t) + far_c * t
+                    spacing = (far_c - near_c) / (C - 1)
+                    xyz = rays_o[:, None] + rays_d[:, None] * z[..., None]
+                    sc = apply_proxy(proxy, xyz, jnp.bfloat16)
+                    sig_hat = jnp.expm1(jax.nn.relu(sc.astype(jnp.float32)))
+                    a_hat = 1.0 - jnp.exp(-sig_hat * spacing * dirn)
+                    tr = jnp.cumprod(1.0 - a_hat + 1e-10, axis=-1)
+                    tr = jnp.concatenate(
+                        [jnp.ones_like(tr[:, :1]), tr[:, :-1]], -1)
+                    w_hat = a_hat * tr
+                    z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+                    z1 = sample_pdf(z_mid, w_hat[:, 1:-1], K1, rng=None,
+                                    det=True, midpoint=True)
+                    z1 = jnp.sort(z1, axis=-1)
+
+                    def eval_field(zs):
+                        emb = positional_encoding(
+                            rays_o[:, None] + rays_d[:, None] * zs[..., None], 10)
+                        demb = positional_encoding(rays_d, 4)
+                        demb = jnp.broadcast_to(
+                            demb[:, None], (r, zs.shape[-1], demb.shape[-1]))
+                        return apply_nerf(params["fine"], emb, demb,
+                                          cfg=nerf_cfg, compute_dtype=fdtype)
+
+                    raw1 = eval_field(z1)
+                    sig1 = jax.nn.relu(raw1[..., 3])
+                    d1 = jnp.concatenate(
+                        [z1[:, 1:] - z1[:, :-1],
+                         jnp.broadcast_to(spacing, (r, 1))], -1) * dirn
+                    a1 = 1.0 - jnp.exp(-d1 * sig1)
+                    t1 = jnp.cumprod(1.0 - a1 + 1e-10, -1)
+                    t1 = jnp.concatenate([jnp.ones_like(t1[:, :1]), t1[:, :-1]],
+                                         -1)
+                    w1 = a1 * t1
+                    z1_mid = 0.5 * (z1[:, :-1] + z1[:, 1:])
+                    z2 = sample_pdf(z1_mid, w1[:, 1:-1], K2, rng=None,
+                                    det=True, midpoint=True)
+                    raw2 = eval_field(z2)
+                    z_all = jnp.concatenate([z1, z2], -1)
+                    order = jnp.argsort(z_all, -1)
+                    z_all = jnp.take_along_axis(z_all, order, -1)
+                    raw = jnp.take_along_axis(
+                        jnp.concatenate([raw1, raw2], -2), order[..., None], -2)
+                    sig = jax.nn.relu(raw[..., 3])
+                    deltas = jnp.concatenate(
+                        [z_all[:, 1:] - z_all[:, :-1],
+                         jnp.broadcast_to(spacing, (r, 1))], -1) * dirn
+                    alphas = 1.0 - jnp.exp(-deltas * sig)
+                    trans = jnp.cumprod(1.0 - alphas + 1e-10, -1)
+                    trans = jnp.concatenate(
+                        [jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
+                    wts = alphas * trans
+                    rgb = jnp.sum(wts[..., None] * raw[..., :3], -2)
+                    return rgb + (1.0 - jnp.sum(wts, -1, keepdims=True))
+                return jax.lax.map(g, tiles)
+            return f
+
+        run_variant("2stage 16+16 (cost 32)", two_stage_frame(), exact_rgbs)
+        run_variant("2stage 8+8 (cost 16)", two_stage_frame(K1=8, K2=8),
+                    exact_rgbs)
+        run_variant("2stage 12+12 (cost 24)", two_stage_frame(K1=12, K2=12),
+                    exact_rgbs)
+        run_variant("2stage 16+8 (cost 24)", two_stage_frame(K1=16, K2=8),
+                    exact_rgbs)
+        run_variant("2stage 8+16 (cost 24)", two_stage_frame(K1=8, K2=16),
+                    exact_rgbs)
+
+        # cheaper exact anchors: what backbone resolution does -0.1 dB need?
+        def exact_frame2(n_s, n_imp):
+            cfg = RenderConfig(n_samples=n_s, n_importance=n_imp, perturb=0.0,
+                               noise_std=0.0, white_back=True, test_time=True)
+
+            @jax.jit
+            def f(tiles):
+                def g(t):
+                    return render_rays(params, t, cfg, None, nerf_cfg=nerf_cfg,
+                                       compute_dtype=jnp.bfloat16)["rgb_fine"]
+                return jax.lax.map(g, tiles)
+            return f
+
+        run_variant("exact 32+16", exact_frame2(32, 16), exact_rgbs)
+        run_variant("exact 48+16", exact_frame2(48, 16), exact_rgbs)
+        run_variant("exact 32+8", exact_frame2(32, 8), exact_rgbs)
+
+    # ---- phase 4: edge-refined fast renderer -------------------------------
+    from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
+    from nerf_siren_tpu.render.fast import (make_edge_refined_renderer,
+                                            render_rays_fast)
+    packed = pack_model_params(params, nerf_cfg)
+
+    def base_full_frame(K=16):
         @jax.jit
-        def f(tiles):
-            def g(rays):
-                rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
-                near, far = rays[:, 6:7], rays[:, 7:8]
-                dirn = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-                r = rays.shape[0]
-                lo = jnp.asarray(aabb[0], jnp.float32)
-                hi = jnp.asarray(aabb[1], jnp.float32)
-                invd = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)
-                t_lo, t_hi = (lo - rays_o) * invd, (hi - rays_o) * invd
-                t_min = jnp.max(jnp.minimum(t_lo, t_hi), -1, keepdims=True)
-                t_max = jnp.min(jnp.maximum(t_lo, t_hi), -1, keepdims=True)
-                hits = t_max > jnp.maximum(t_min, 0.0)
-                near_c = jnp.where(hits, jnp.clip(t_min, near, far), near)
-                far_c = jnp.where(hits, jnp.clip(t_max, near, far), far)
-                t = jnp.linspace(0.0, 1.0, C)
-                z = near_c * (1 - t) + far_c * t
-                spacing = (far_c - near_c) / (C - 1)
-                xyz = rays_o[:, None] + rays_d[:, None] * z[..., None]
-                sc = apply_proxy(proxy, xyz, jnp.bfloat16)
-                sig_hat = jnp.expm1(jax.nn.relu(sc.astype(jnp.float32)))
-                a_hat = 1.0 - jnp.exp(-sig_hat * spacing * dirn)
-                tr = jnp.cumprod(1.0 - a_hat + 1e-10, axis=-1)
-                tr = jnp.concatenate(
-                    [jnp.ones_like(tr[:, :1]), tr[:, :-1]], -1)
-                w_hat = a_hat * tr
-                z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
-                z1 = sample_pdf(z_mid, w_hat[:, 1:-1], K1, rng=None,
-                                det=True, midpoint=True)
-                z1 = jnp.sort(z1, axis=-1)
+        def base(rays):
+            tiles = rays.reshape(-1, chunk, 8)
+            out = jax.lax.map(
+                lambda t: render_rays_fast(
+                    params, proxy, t, n_candidates=32, n_keep=K,
+                    nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
+                    select="pdf", packed_params=packed), tiles)
+            return {k: v.reshape(H * W, *v.shape[2:]) for k, v in out.items()}
+        return base
 
-                def eval_field(zs):
-                    emb = positional_encoding(
-                        rays_o[:, None] + rays_d[:, None] * zs[..., None], 10)
-                    demb = positional_encoding(rays_d, 4)
-                    demb = jnp.broadcast_to(
-                        demb[:, None], (r, zs.shape[-1], demb.shape[-1]))
-                    return apply_nerf(params["fine"], emb, demb,
-                                      cfg=nerf_cfg, compute_dtype=fdtype)
+    for cap, ns, ni in ((0.02, 48, 16), (0.04, 48, 16), (0.06, 48, 16),
+                        (0.04, 32, 16), (0.04, 32, 8)):
+        er = make_edge_refined_renderer(
+            base_full_frame(), packed, (H, W), nerf_cfg=nerf_cfg,
+            white_back=True, n_samples=ns, n_importance=ni, cap_frac=cap)
 
-                raw1 = eval_field(z1)
-                sig1 = jax.nn.relu(raw1[..., 3])
-                d1 = jnp.concatenate(
-                    [z1[:, 1:] - z1[:, :-1],
-                     jnp.broadcast_to(spacing, (r, 1))], -1) * dirn
-                a1 = 1.0 - jnp.exp(-d1 * sig1)
-                t1 = jnp.cumprod(1.0 - a1 + 1e-10, -1)
-                t1 = jnp.concatenate([jnp.ones_like(t1[:, :1]), t1[:, :-1]],
-                                     -1)
-                w1 = a1 * t1
-                z1_mid = 0.5 * (z1[:, :-1] + z1[:, 1:])
-                z2 = sample_pdf(z1_mid, w1[:, 1:-1], K2, rng=None,
-                                det=True, midpoint=True)
-                raw2 = eval_field(z2)
-                z_all = jnp.concatenate([z1, z2], -1)
-                order = jnp.argsort(z_all, -1)
-                z_all = jnp.take_along_axis(z_all, order, -1)
-                raw = jnp.take_along_axis(
-                    jnp.concatenate([raw1, raw2], -2), order[..., None], -2)
-                sig = jax.nn.relu(raw[..., 3])
-                deltas = jnp.concatenate(
-                    [z_all[:, 1:] - z_all[:, :-1],
-                     jnp.broadcast_to(spacing, (r, 1))], -1) * dirn
-                alphas = 1.0 - jnp.exp(-deltas * sig)
-                trans = jnp.cumprod(1.0 - alphas + 1e-10, -1)
-                trans = jnp.concatenate(
-                    [jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
-                wts = alphas * trans
-                rgb = jnp.sum(wts[..., None] * raw[..., :3], -2)
-                return rgb + (1.0 - jnp.sum(wts, -1, keepdims=True))
-            return jax.lax.map(g, tiles)
-        return f
+        def er_frame(ptiles, er=er):
+            rays = ptiles.reshape(H * W, 8)
+            return er(rays)["rgb_fine"]
 
-    run_variant("2stage 16+16 (cost 32)", two_stage_frame(), exact_rgbs)
-    run_variant("2stage 8+8 (cost 16)", two_stage_frame(K1=8, K2=8),
-                exact_rgbs)
-    run_variant("2stage 12+12 (cost 24)", two_stage_frame(K1=12, K2=12),
-                exact_rgbs)
-    run_variant("2stage 16+8 (cost 24)", two_stage_frame(K1=16, K2=8),
-                exact_rgbs)
-    run_variant("2stage 8+16 (cost 24)", two_stage_frame(K1=8, K2=16),
-                exact_rgbs)
-
-    # cheaper exact anchors: what backbone resolution does -0.1 dB need?
-    def exact_frame2(n_s, n_imp):
-        cfg = RenderConfig(n_samples=n_s, n_importance=n_imp, perturb=0.0,
-                           noise_std=0.0, white_back=True, test_time=True)
-
-        @jax.jit
-        def f(tiles):
-            def g(t):
-                return render_rays(params, t, cfg, None, nerf_cfg=nerf_cfg,
-                                   compute_dtype=jnp.bfloat16)["rgb_fine"]
-            return jax.lax.map(g, tiles)
-        return f
-
-    run_variant("exact 32+16", exact_frame2(32, 16), exact_rgbs)
-    run_variant("exact 48+16", exact_frame2(48, 16), exact_rgbs)
-    run_variant("exact 32+8", exact_frame2(32, 8), exact_rgbs)
+        row = run_variant(
+            f"edge-ref K16 cap={cap} lite={ns}+{ni}", er_frame, exact_rgbs)
+        row["n_refined_last"] = int(np.asarray(er.last_refined))
+    er8 = make_edge_refined_renderer(
+        base_full_frame(K=8), packed, (H, W), nerf_cfg=nerf_cfg,
+        white_back=True, n_samples=48, n_importance=16, cap_frac=0.04)
+    run_variant("edge-ref K8 cap=0.04 lite=48+16",
+                lambda pt: er8(pt.reshape(H * W, 8))["rgb_fine"], exact_rgbs)
 
     # ---- error-map localization on pose 0 ----------------------------------
     # Where does the fast-vs-exact squared error live? Classify pixels by
