@@ -489,6 +489,13 @@ def main(hparams):
             fast_cull = (hparams.fast_cull if hparams.fast_cull == 'auto'
                          else float(hparams.fast_cull))
 
+        if fast_cull == 'auto' and hparams.num_chips != 1 \
+                and len(jax.devices()) > 1:
+            raise SystemExit(
+                '--fast_cull auto is frame-temporal (per-frame budget '
+                'state) and does not compose with --num_chips yet; use '
+                '--num_chips with the plain fast path (drop --fast_cull) '
+                'or render auto-cull single-chip')
         if fast_cull == 'auto':
             from nerf_siren_tpu.render.fast import make_auto_cull_renderer
             auto_render = make_auto_cull_renderer(
@@ -509,27 +516,45 @@ def main(hparams):
             def render(params, rays):
                 return auto_render(rays)
         else:
-            @jax.jit
-            def render(params, rays):
-                n = rays.shape[0]
-                chunk = min(hparams.chunk, n)
-                n_tiles = -(-n // chunk)
-                tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
-                tiles = tiles.reshape(n_tiles, chunk, 8)
-                out = jax.lax.map(
-                    lambda t: render_rays_fast(
-                        params, proxy, t,
-                        n_candidates=hparams.fast_candidates,
-                        n_keep=hparams.fast_keep, nerf_cfg=nerf_cfg,
-                        model=model_key, white_back=dataset.white_back,
-                        compute_dtype=compute_dtype, scene_aabb=aabb,
-                        select=hparams.fast_select, packed_params=fast_packed,
-                        packed_proxy=fast_packed_proxy, adaptive=fast_adaptive,
-                        cull=fast_cull, placement=hparams.fast_placement,
-                        quadrature=hparams.fast_quadrature),
-                    tiles)
-                return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
-                        for k, v in out.items()}
+            def fast_tile(t):
+                return render_rays_fast(
+                    params, proxy, t,
+                    n_candidates=hparams.fast_candidates,
+                    n_keep=hparams.fast_keep, nerf_cfg=nerf_cfg,
+                    model=model_key, white_back=dataset.white_back,
+                    compute_dtype=compute_dtype, scene_aabb=aabb,
+                    select=hparams.fast_select, packed_params=fast_packed,
+                    packed_proxy=fast_packed_proxy, adaptive=fast_adaptive,
+                    cull=fast_cull, placement=hparams.fast_placement,
+                    quadrature=hparams.fast_quadrature)
+
+            if hparams.num_chips != 1 and len(jax.devices()) > 1:
+                # multi-chip fast eval (VERDICT r4 item 2): frame rays
+                # sharded over the data mesh, every chip runs the fused
+                # proxy-march + field kernels on its slab; params/proxy
+                # packs replicated, zero collectives
+                from nerf_siren_tpu.parallel.mesh import (make_mesh,
+                                                          sharded_tile_render)
+                n_chips = (hparams.num_chips if hparams.num_chips > 0
+                           else None)
+                devices = (jax.devices()[:n_chips] if n_chips
+                           else jax.devices())
+                sharded = sharded_tile_render(
+                    fast_tile, make_mesh(devices=devices), hparams.chunk)
+
+                def render(params, rays):
+                    return sharded(rays)
+            else:
+                @jax.jit
+                def render(params, rays):
+                    n = rays.shape[0]
+                    chunk = min(hparams.chunk, n)
+                    n_tiles = -(-n // chunk)
+                    tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
+                    tiles = tiles.reshape(n_tiles, chunk, 8)
+                    out = jax.lax.map(fast_tile, tiles)
+                    return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+                            for k, v in out.items()}
     elif hparams.renderer == 'fused' and render_cfg.test_time:
         from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
         from nerf_siren_tpu.render.fused import render_rays_fused
@@ -553,19 +578,33 @@ def main(hparams):
         else:
             packed = pack_model_params(params, nerf_cfg)
 
-        @jax.jit
-        def render(params, rays):
-            n = rays.shape[0]
-            chunk = min(hparams.chunk, n)
-            n_tiles = -(-n // chunk)
-            tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
-            tiles = tiles.reshape(n_tiles, chunk, 8)
-            out = jax.lax.map(
-                lambda t: render_rays_fused(packed, t, render_cfg,
-                                            nerf_cfg=nerf_cfg),
-                tiles)
-            return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
-                    for k, v in out.items()}
+        def fused_tile(t):
+            return render_rays_fused(packed, t, render_cfg,
+                                     nerf_cfg=nerf_cfg)
+
+        if hparams.num_chips != 1 and len(jax.devices()) > 1:
+            # multi-chip fused eval (VERDICT r4 item 2): rays sharded,
+            # packed weights replicated, fused Pallas kernels per shard
+            from nerf_siren_tpu.parallel.mesh import (make_mesh,
+                                                      sharded_tile_render)
+            n_chips = hparams.num_chips if hparams.num_chips > 0 else None
+            devices = jax.devices()[:n_chips] if n_chips else jax.devices()
+            sharded = sharded_tile_render(
+                fused_tile, make_mesh(devices=devices), hparams.chunk)
+
+            def render(params, rays):
+                return sharded(rays)
+        else:
+            @jax.jit
+            def render(params, rays):
+                n = rays.shape[0]
+                chunk = min(hparams.chunk, n)
+                n_tiles = -(-n // chunk)
+                tiles = jnp.pad(rays, ((0, n_tiles * chunk - n), (0, 0)))
+                tiles = tiles.reshape(n_tiles, chunk, 8)
+                out = jax.lax.map(fused_tile, tiles)
+                return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
+                        for k, v in out.items()}
     elif hparams.num_chips != 1 and len(jax.devices()) > 1:
         # multi-chip exact eval: frame rays sharded over a data mesh, every
         # chip renders its slice (params replicated, zero collectives)

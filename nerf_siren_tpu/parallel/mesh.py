@@ -69,6 +69,55 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def sharded_tile_render(tile_fn, mesh: Mesh, chunk: int, axis: str = "data"):
+    """Mesh-shard any per-tile full-frame renderer (VERDICT r4 item 2).
+
+    tile_fn: (chunk, 8) rays -> dict of per-ray arrays. Returns
+    render(rays) for an (N, 8) frame: rays are split across the mesh's
+    data axis (contiguous slabs — scanline bands for eval frames), each
+    device lax.maps tile_fn over its slab's tiles, outputs concatenate
+    back on the ray axis. Params/proxy packs live in tile_fn's closure and
+    are replicated by jit as broadcast constants; there are ZERO
+    collectives — eval rays are embarrassingly parallel, the same
+    distribution contract as the reference's per-GPU rendering
+    (reference train.py:47-63, every device renders its slice).
+
+    Works for the exact, fused, and proxy-culled fast renderers alike:
+    the Pallas march/field kernels compile per shard with the per-device
+    tile shapes (asserted shard-count-invariant in
+    tests/test_fast_render.py and exercised by dryrun_multichip).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_siren_tpu.parallel.shard_train import shard_map_compat
+
+    n_dev = mesh.shape[axis]
+
+    @jax.jit
+    def render_padded(rays_p):
+        per = rays_p.shape[0] // n_dev
+
+        def per_shard(r):
+            tiles = r.reshape(-1, chunk, 8)
+            out = jax.lax.map(tile_fn, tiles)
+            return {k: v.reshape(per, *v.shape[2:]) for k, v in out.items()}
+
+        return shard_map_compat(per_shard, mesh=mesh, in_specs=(P(axis),),
+                                out_specs=P(axis))(rays_p)
+
+    def render(rays):
+        import jax.numpy as jnp
+
+        n = rays.shape[0]
+        per = -(-n // (n_dev * chunk)) * chunk
+        rays_p = jnp.pad(jnp.asarray(rays, jnp.float32),
+                         ((0, per * n_dev - n), (0, 0)))
+        rays_p = shard_rays(rays_p, mesh, axis)
+        return {k: v[:n] for k, v in render_padded(rays_p).items()}
+
+    return render
+
+
 def cross_replica_param_hash(params) -> jax.Array:
     """Debug check analogous to DDP consistency verification (reference:
     torch_utils/misc.py:182-196): a scalar fingerprint of the params; compare

@@ -132,6 +132,11 @@ def main():
                          "(plain fused K sweep + auto-cull rows), merging "
                          "into an existing output JSON; use with "
                          "--reuse_scene after a full sweep")
+    ap.add_argument("--edge_only", action="store_true",
+                    help="measure only the silhouette-edge-refined rows "
+                         "(render/fast.py::make_edge_refined_renderer over "
+                         "plain-fused and auto-cull bases), merging into an "
+                         "existing output JSON; use with --reuse_scene")
     ap.add_argument("--int8_only", action="store_true",
                     help="measure the int8-trunk field kernel "
                          "(ops/pallas/fused_mlp_int8.py) on a focused "
@@ -294,6 +299,16 @@ def main():
             vs_gt.append(psnr(rgb, poses[p]["gt"]))
         return agree, vs_gt
 
+    def gt_delta_cols(vs_gt, exact_gt_per_pose):
+        """THE driver-bar columns (VERDICT r4 weak #1): how much GT PSNR
+        the row loses vs the exact render, mean and worst pose — the
+        number the ±0.1 dB parity definition is stated on. Positive =
+        the fast row renders BETTER vs GT than the exact render."""
+        d = np.asarray(vs_gt) - np.asarray(exact_gt_per_pose)
+        return {"psnr_vs_gt_mean": float(np.mean(vs_gt)),
+                "delta_gt_vs_exact_db": float(np.mean(d)),
+                "delta_gt_worst_pose_db": float(np.min(d))}
+
     exact_cfg = RenderConfig(n_samples=64, n_importance=64, perturb=0.0,
                              noise_std=0.0, white_back=True, test_time=True)
     packed = pack_model_params(params, nerf_cfg)
@@ -355,7 +370,8 @@ def main():
                             (64, 12), (64, 16), (64, 32), (96, 12), (96, 16),
                             (128, 16), (128, 32))]
     sweep += [("pdf", 32, 16), ("pdf", 64, 16)]  # record: pdf loses to topk
-    if args.fused_only or args.auto_only or args.ratio_only or args.int8_only:
+    if (args.fused_only or args.auto_only or args.ratio_only
+            or args.int8_only or args.edge_only):
         sweep = []
     for sel, c, k in sweep:
         @jax.jit
@@ -377,7 +393,8 @@ def main():
                "agreement_min_db": float(np.min(agree)),
                "agreement_per_pose": agree,
                "psnr_vs_gt": vs_gt[0],
-               "psnr_vs_gt_per_pose": vs_gt}
+               "psnr_vs_gt_per_pose": vs_gt,
+               **gt_delta_cols(vs_gt, exact_gt_per_pose)}
         results["configs"].append(row)
         print(f"{sel:5s} C={c:3d} K={k:3d}: {rate/1e6:6.2f} M rays/s  "
               f"agree mean {row['agreement_db_vs_exact']:6.2f} / "
@@ -447,7 +464,7 @@ def main():
             (32, 24, None, None, "mid", "ratio"),
             (64, 16, None, None, "mid", "ratio"),
         ]
-    if args.auto_only:
+    if args.auto_only or args.edge_only:
         fused_sweep = []
     results["fused_adaptive_configs"] = []
     for c, k, adapt, cull, placement, quad in fused_sweep:
@@ -480,7 +497,8 @@ def main():
                "agreement_min_db": float(np.min(agree)),
                "agreement_per_pose": agree,
                "psnr_vs_gt": vs_gt[0],
-               "psnr_vs_gt_per_pose": vs_gt}
+               "psnr_vs_gt_per_pose": vs_gt,
+               **gt_delta_cols(vs_gt, exact_gt_per_pose)}
         results["fused_adaptive_configs"].append(row)
         ad = (f"+{adapt[0]:.3f}x{adapt[1]}" if adapt
               else f" cull={cull}" if cull is not None
@@ -529,6 +547,8 @@ def main():
     ]
     if args.ratio_only:
         auto_sweep = [r for r in auto_sweep if r[5] == "ratio"]
+    if args.edge_only:
+        auto_sweep = []
     if args.int8_only:
         auto_sweep = [
             (12, 1.2, 8, "mid", "auto", "ratio"),
@@ -575,7 +595,8 @@ def main():
                "agreement_min_db": float(np.min(agree)),
                "agreement_per_pose": agree,
                "psnr_vs_gt": vs_gt[0],
-               "psnr_vs_gt_per_pose": vs_gt}
+               "psnr_vs_gt_per_pose": vs_gt,
+               **gt_delta_cols(vs_gt, exact_gt_per_pose)}
         results["auto_cull_configs"].append(row)
         print(f"auto  C= 32 K={k:3d} margin={margin:.2f} "
               f"pp={prepass_c or 32:2d} {placement[:4]} eps={eps} "
@@ -586,9 +607,95 @@ def main():
               f"min {row['agreement_min_db']:6.2f} dB  "
               f"gt {row['psnr_vs_gt']:6.2f} dB", flush=True)
 
+    # ---- silhouette-edge-refined rows (render/fast.py, round 5) ------------
+    # The configs that close VERDICT r4 item 1: base fast render + exact-lite
+    # re-render of the top cap_frac edge-scored rays. Scored like every other
+    # row (8 poses, mean/min agreement, GT per pose) plus the driver-bar
+    # delta columns.
+    from nerf_siren_tpu.render.fast import make_edge_refined_renderer
+    results["edge_refined_configs"] = []
+    edge_sweep = []
+    if args.edge_only:
+        # (base, K, cap_frac, lite_ns, lite_ni, eps, int8)
+        edge_sweep = [
+            ("auto", 8, 0.03, 48, 16, "auto", False),
+            ("auto", 12, 0.03, 48, 16, "auto", False),
+            ("auto", 16, 0.02, 48, 16, "auto", False),
+            ("auto", 16, 0.03, 48, 16, "auto", False),
+            ("plain", 8, 0.03, 48, 16, None, False),
+            ("plain", 16, 0.02, 48, 16, None, False),
+            ("auto", 8, 0.03, 48, 16, "auto", True),
+            ("auto", 12, 0.03, 48, 16, "auto", True),
+            ("auto", 16, 0.02, 48, 16, "auto", True),
+        ]
+    pose_rays_dev_e = [jnp.asarray(p["rays"]) for p in poses]
+    packed_i8 = None
+    for base_kind, k, cap, ns, ni, eps, use_i8 in edge_sweep:
+        if use_i8 and packed_i8 is None:
+            from nerf_siren_tpu.ops.pallas.fused_mlp_int8 import (
+                pack_model_params_int8)
+            packed_i8 = pack_model_params_int8(params, nerf_cfg)
+        fld = packed_i8 if use_i8 else packed
+        if base_kind == "auto":
+            base = make_auto_cull_renderer(
+                params, proxy, n_candidates=32, n_keep=k, nerf_cfg=nerf_cfg,
+                white_back=True, scene_aabb=aabb, packed_params=fld,
+                packed_proxy=packed_proxy, margin=1.2, prepass_candidates=16,
+                placement="mid", opacity_eps=eps, quadrature="delta")
+        else:
+            @jax.jit
+            def base_jit(rays, k=k, fld=fld):
+                tiles = rays.reshape(-1, chunk, 8)
+                out = jax.lax.map(
+                    lambda t: render_rays_fast(
+                        params, proxy, t, n_candidates=32, n_keep=k,
+                        nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
+                        select="pdf", packed_params=fld,
+                        packed_proxy=packed_proxy, placement="mid"), tiles)
+                return {kk: v.reshape(H * W, *v.shape[2:])
+                        for kk, v in out.items()}
+            base = base_jit
+        # the lite pass keeps the bf16 pack even for int8 bases: it is the
+        # quality anchor on exactly the pixels that need precision
+        er = make_edge_refined_renderer(
+            base, packed, (H, W), nerf_cfg=nerf_cfg, white_back=True,
+            n_samples=ns, n_importance=ni, cap_frac=cap)
+
+        def er_frame(rays_dev, er=er):
+            out = er(rays_dev)["rgb_fine"]
+            return out, jnp.sum(out)
+
+        for rd in pose_rays_dev_e:   # warm budgets through the sequence
+            float(er_frame(rd)[1])
+        rgb, t = time_frames(er_frame, pose_rays_dev_e[0])
+        rate = H * W / t
+        agree, vs_gt = [], []
+        for p, rd in enumerate(pose_rays_dev_e):
+            r_p = np.asarray(er_frame(rd)[0]).reshape(-1, 3)
+            agree.append(psnr(r_p, exact_rgbs[p]))
+            vs_gt.append(psnr(r_p, poses[p]["gt"]))
+        row = {"select": f"edge-refined+{base_kind}", "n_candidates": 32,
+               "n_keep": k, "cap_frac": cap, "lite": [ns, ni],
+               "placement": "mid", "quadrature": "delta",
+               "opacity_eps": eps,
+               "field_dtype": "int8" if use_i8 else "bf16",
+               "rays_per_sec": rate,
+               "agreement_db_vs_exact": float(np.mean(agree)),
+               "agreement_min_db": float(np.min(agree)),
+               "agreement_per_pose": agree,
+               "psnr_vs_gt": vs_gt[0],
+               "psnr_vs_gt_per_pose": vs_gt,
+               **gt_delta_cols(vs_gt, exact_gt_per_pose)}
+        results["edge_refined_configs"].append(row)
+        print(f"edge  {base_kind:5s} K={k:3d} cap={cap:.2f} "
+              f"lite={ns}+{ni}{' i8' if use_i8 else '   '}: "
+              f"{rate/1e6:6.2f} M rays/s  dGT {row['delta_gt_vs_exact_db']:+.3f}"
+              f" (worst {row['delta_gt_worst_pose_db']:+.3f})  "
+              f"agree {row['agreement_db_vs_exact']:6.2f}", flush=True)
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     if (args.ratio_only or args.int8_only or args.fused_only
-            or args.auto_only) and os.path.exists(args.out):
+            or args.auto_only or args.edge_only) and os.path.exists(args.out):
         # append/refresh the measured rows inside the existing sweeps.
         # ROW-wise merge for every partial mode: a wholesale list replace
         # (the old fused_only/auto_only path) silently destroyed rows a
@@ -602,11 +709,11 @@ def main():
             return tuple(str(row.get(f)) for f in (
                 "select", "n_candidates", "n_keep", "adaptive", "cull",
                 "placement", "quadrature", "margin", "opacity_eps",
-                "prepass_candidates")
+                "prepass_candidates", "cap_frac", "lite")
             ) + (str(row.get("field_dtype") or "bf16"),)
 
         for field in ("configs", "fused_adaptive_configs",
-                      "auto_cull_configs"):
+                      "auto_cull_configs", "edge_refined_configs"):
             fresh = {_key(r): r for r in results.get(field, [])}
             kept = [r for r in merged.get(field, [])
                     if _key(r) not in fresh]
