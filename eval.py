@@ -97,6 +97,25 @@ def get_opts(args=None):
                              "frames at <=0.03 dB cost). Quality "
                              "measured in docs/int8_quality.json / the "
                              "frontier field_dtype=int8 rows")
+    parser.add_argument('--fast_edge_refine', type=float, default=None,
+                        metavar='CAP_FRAC',
+                        help="silhouette-edge refinement on the fast "
+                             "renderer (render/fast.py::"
+                             "make_edge_refined_renderer): after the fast "
+                             "frame, re-render the top CAP_FRAC (e.g. "
+                             "0.03) of rays by image-space opacity/depth "
+                             "edge score through an exact-lite "
+                             "(--fast_edge_lite) pass. Closes the fast "
+                             "path's silhouette deficit to the exact "
+                             "render (dGT -0.45 -> ~0.0 dB measured, "
+                             "docs/fast_gap_diagnosis.json) for ~25-30%% "
+                             "frame cost. Requires full-frame eval "
+                             "(rays in scanline order)")
+    parser.add_argument('--fast_edge_lite', type=int, nargs=2,
+                        default=(48, 16), metavar=('N_SAMPLES', 'N_IMP'),
+                        help="coarse/importance counts of the exact-lite "
+                             "edge pass (48+16 holds +-0.1 dB of the full "
+                             "64+64 render on the measured scenes)")
     parser.add_argument('--fast_quadrature', type=str, default='delta',
                         choices=['delta', 'ratio'],
                         help="fast-path alpha integration: 'delta' = "
@@ -555,6 +574,32 @@ def main(hparams):
                     out = jax.lax.map(fast_tile, tiles)
                     return {k: v.reshape(n_tiles * chunk, *v.shape[2:])[:n]
                             for k, v in out.items()}
+
+        if hparams.fast_edge_refine is not None:
+            # silhouette-edge refinement pass (round 5): the fast frame's
+            # opacity/depth maps locate the edge band; the top cap_frac
+            # rays re-render through the exact-lite fused path. The lite
+            # pass always uses the bf16 pack — it is the quality anchor on
+            # exactly the pixels that need precision.
+            if hparams.num_chips != 1 and len(jax.devices()) > 1:
+                raise SystemExit('--fast_edge_refine is an image-space pass '
+                                 'and does not compose with --num_chips yet')
+            if 'fine' not in params or not render_cfg.test_time:
+                raise SystemExit('--fast_edge_refine needs a coarse+fine '
+                                 'checkpoint and N_importance > 0')
+            from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
+            from nerf_siren_tpu.render.fast import make_edge_refined_renderer
+            ns_lite, ni_lite = hparams.fast_edge_lite
+            base_render = render
+            refined = make_edge_refined_renderer(
+                lambda rays: base_render(params, rays),
+                pack_model_params(params, nerf_cfg), (h, w),
+                nerf_cfg=nerf_cfg, white_back=dataset.white_back,
+                n_samples=ns_lite, n_importance=ni_lite,
+                cap_frac=hparams.fast_edge_refine, model=model_key)
+
+            def render(params, rays):
+                return refined(rays)
     elif hparams.renderer == 'fused' and render_cfg.test_time:
         from nerf_siren_tpu.ops.pallas.fused_mlp import pack_model_params
         from nerf_siren_tpu.render.fused import render_rays_fused

@@ -639,8 +639,9 @@ def make_edge_refined_renderer(
     """
     H, W = img_hw
     rp = H * W
+    chunk = min(chunk, rp)
     n_edge = max(chunk, -(-int(cap_frac * rp) // chunk) * chunk)
-    n_edge = min(n_edge, -(-rp // chunk) * chunk)
+    n_edge = min(n_edge, rp // chunk * chunk)
     from nerf_siren_tpu.render.fused import render_rays_fused
     cfg_lite = RenderConfig(
         n_samples=n_samples, n_importance=n_importance, perturb=0.0,
@@ -1002,7 +1003,16 @@ def make_auto_cull_renderer(
     # ratio >= 1) — plain frames multiply their cheap field count by it
     # to estimate the proxy-space active fraction without a prepass
     budget = {"n_fg_b": None, "n_vis_b": None, "plain": False, "ratio": 1.0,
+              "plain_run": 0,
               "eps": None if auto_eps else jnp.float32(opacity_eps)}
+    # field->proxy ratio ceiling: with n_vis_b==0 on the measuring culled
+    # frame the raw ratio degenerates to n_fg_b (ADVICE r4) and a scene
+    # that turns sparse could stay pinned in plain mode; the proxy
+    # overpredicts by design ~16x, so anything much above that is the
+    # degenerate case, not signal. A periodic forced re-probe (below)
+    # bounds the staleness of ratio/eps regardless.
+    RATIO_MAX = 32.0
+    PLAIN_REPROBE_EVERY = 64
 
     def render(rays: jax.Array) -> Dict[str, jax.Array]:
         r = rays.shape[0]
@@ -1031,7 +1041,14 @@ def make_auto_cull_renderer(
             # plain on the tunnel: the fetch serialized every frame)
             n_act_b = nblocks
             plain = True
-            if budget["n_vis_b"] is not None:
+            budget["plain_run"] += 1
+            if budget["plain_run"] >= PLAIN_REPROBE_EVERY:
+                # bounded staleness (ADVICE r4): ratio/eps only refresh on
+                # culled frames, so force one FULL culled re-probe after a
+                # long plain run — costs nothing in quality (it renders
+                # every block) and re-measures budget/eps/ratio
+                plain = False
+            elif budget["n_vis_b"] is not None:
                 est_fg_b = int(budget["n_vis_b"]) * budget["ratio"]
                 if quantized_act(est_fg_b) / nblocks < PLAIN_EXIT:
                     # scene turned sparse: run the FULL culled program NOW
@@ -1040,10 +1057,12 @@ def make_auto_cull_renderer(
         else:
             n_fg_b = int(budget["n_fg_b"])      # deferred, cheap fetch
             n_vis_b = int(budget["n_vis_b"])
-            budget["ratio"] = n_fg_b / max(n_vis_b, 1)
+            budget["ratio"] = min(n_fg_b / max(n_vis_b, 1), RATIO_MAX)
             n_act_b = quantized_act(n_fg_b)
             plain = n_act_b / nblocks >= PLAIN_ENTER
         budget["plain"] = plain
+        if not plain:
+            budget["plain_run"] = 0
         if plain or n_act_b >= nblocks:
             # full/plain frame: pad up to a quantum_b multiple rather
             # than growing the chunk toward a divisor of nblocks — that

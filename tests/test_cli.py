@@ -329,8 +329,10 @@ def test_eval_cli_fast_int8(workdir, scene_root):
 
 def test_eval_cli_fused_int8(workdir, scene_root):
     """--renderer fused --fast_field_dtype int8: quantized FULL-frame eval
-    (every stratified sample, not just proxy survivors) with activation
-    scales calibrated over the full sampling volume (ADVICE r3, medium)."""
+    (every stratified sample, not just proxy survivors). Activation scales
+    are dynamic per point, computed in-kernel — the r4 redesign removed
+    calibration entirely (static per-tensor scales measured unusable on
+    trained trunks, docs/int8_quality.json)."""
     wd, _ = workdir
     ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "smoke", "*.msgpack")))[-1]
     cwd = os.getcwd()
@@ -385,6 +387,40 @@ def test_eval_cli_fast_auto_cull(workdir, scene_root):
         ]))
         assert mean_psnr is not None and np.isfinite(mean_psnr)
         pngs = glob.glob(os.path.join(wd, "results", "blender", "sphere_autocull", "*.png"))
+        assert len(pngs) == 2
+    finally:
+        os.chdir(cwd)
+
+
+def test_eval_cli_fast_edge_refine(workdir, scene_root):
+    """--fast_edge_refine: the fast frame's silhouette band re-renders
+    through the exact-lite fused pass (round-5 parity close,
+    docs/fast_gap_diagnosis.json); output stays a finite full-frame PSNR
+    with the usual PNGs."""
+    wd, _ = workdir
+    ckpt = sorted(glob.glob(os.path.join(wd, "ckpts", "smoke", "*.msgpack")))[-1]
+    cwd = os.getcwd()
+    os.chdir(wd)
+    try:
+        from eval import get_opts as eval_opts, main as eval_main
+        mean_psnr = eval_main(eval_opts([
+            "--root_dir", scene_root,
+            "--dataset_name", "blender",
+            "--split", "test",
+            "--img_wh", "40", "40",
+            "--N_samples", "24", "--N_importance", "8",
+            "--ckpt_path", ckpt,
+            "--scene_name", "sphere_edge",
+            "--renderer", "fast",
+            "--fast_candidates", "24", "--fast_keep", "8",
+            "--fast_distill_steps", "20", "--fast_distill_batch", "2048",
+            "--fast_edge_refine", "0.05",
+            "--fast_edge_lite", "16", "8",
+            "--compute_dtype", "float32",
+        ]))
+        assert mean_psnr is not None and np.isfinite(mean_psnr)
+        pngs = glob.glob(os.path.join(wd, "results", "blender",
+                                      "sphere_edge", "*.png"))
         assert len(pngs) == 2
     finally:
         os.chdir(cwd)

@@ -207,14 +207,24 @@ def main():
             fast(rd)
         act = []
 
+        plain_flags = []
+
         def auto_fn(rd):
             out = fast(rd)
             act.append(fast.last_active_frac)
+            plain_flags.append(bool(fast.last_plain))
             return out
 
+        # record which PROGRAM each pose used (ADVICE r4): timing runs on
+        # pose 0 after warming through the sequence, so the quoted rays/s
+        # reflects pose-0's steady-state program — plain_per_pose makes it
+        # explicit when a dense pose flipped into the plain bypass
         score(auto_fn, f"C=32 K={k} auto eps={eps} {placement}",
               extra={"active_frac_per_pose":
-                     [round(a, 3) for a in act[-n_poses:]]})
+                     [round(a, 3) for a in act[-n_poses:]],
+                     "plain_per_pose": plain_flags[-n_poses:],
+                     "timed_pose0_plain":
+                     (plain_flags[-n_poses] if plain_flags else None)})
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
