@@ -135,6 +135,116 @@ def sample_from_packed_planes(packed: jax.Array, coordinates: jax.Array,
     return out.reshape(n, n_planes, m, c)
 
 
+def make_kernel_plane_sampler(packed: jax.Array, box_warp: float,
+                              r: int, s: int = None, *, rb: int = 64, sb: int = 8,
+                              miss_cap_frac: float = 0.06,
+                              tile_h: int = None, tile_px: int = None):
+    """Gather-free triplane sampler on the Pallas tile kernel
+    (ops/pallas/triplane_gather.py) — the jnp block-gather path's 52
+    M samples/s per-element issue ceiling does not apply.
+
+    packed: pack_planes_for_sampling table (1, 3, H+2, W+2, C).
+    r, s: the ray/sample grid shape of the flattened point axis
+    (coordinates are ray-major (1, R*S, 3), reference renderer.py:105).
+    rb, sb: group shape — rb consecutive rays x sb consecutive depths per
+    kernel group (footprint-bounded because EG3D plane projections are
+    orthographic: a ray's samples trace a straight uniform line).
+
+    Returns sample(coordinates (1, R*S, 3)) -> (1, 3, R*S, C) f32, exactly
+    grid_sample_2d_packed's semantics: groups whose footprint exceeds the
+    tile are re-sampled through the jnp path via a fixed-capacity miss
+    list (`miss_cap_frac` of groups; sampler.last_miss_groups /
+    last_miss_overflow expose diagnostics as device scalars).
+    """
+    from nerf_siren_tpu.ops.pallas import triplane_gather as tg
+
+    n, n_planes, hp2, wp2, c = packed.shape
+    assert n == 1, "kernel sampler: batch 1 (the EG3D single-scene mode)"
+    h, w = hp2 - 2, wp2 - 2
+    t_h = tile_h or tg.TILE_H
+    t_px = tile_px or tg.TILE_PX
+    assert r % rb == 0, (r, rb)
+    xq = max(128 // c, 1)
+    tables = jnp.stack([
+        tg.pack_plane_rowmajor(
+            packed[0, p, 1:-1, 1:-1].transpose(2, 0, 1), dtype=packed.dtype,
+            tile_px=t_px)
+        for p in range(n_planes)])
+    rows_tot, lanes_tot = tables.shape[1], tables.shape[2]
+    wp_tot = lanes_tot // c
+    default_s = s
+
+    def sample(coordinates: jax.Array, s: int = None) -> jax.Array:
+        s = s if s is not None else default_s
+        assert s % sb == 0, (s, sb)
+        g = (r // rb) * (s // sb)
+        t_pts = rb * sb
+        g_cap = max(1, int(miss_cap_frac * g))
+
+        def group(x):
+            # (M, ...) ray-major -> (G, T, ...) rb x sb blocks
+            y = x.reshape(r // rb, rb, s // sb, sb, *x.shape[1:])
+            return y.transpose(0, 2, 1, 3, *range(4, y.ndim)).reshape(
+                g, t_pts, *x.shape[1:])
+
+        def ungroup(y):
+            # (G, C, T) -> (M, C)
+            z = y.reshape(r // rb, s // sb, c, rb, sb)
+            return z.transpose(0, 3, 1, 4, 2).reshape(r * s, c)
+
+        coords = (2.0 / box_warp) * coordinates
+        proj = project_onto_planes(coords)                    # (3, M, 2)
+        outs = []
+        miss_counts, overflows = [], []
+        for p in range(n_planes):
+            x, y = proj[p, :, 0], proj[p, :, 1]
+            ix = ((x + 1) * w - 1) / 2
+            iy = ((y + 1) * h - 1) / 2
+            ix0 = jnp.floor(ix).astype(jnp.int32)
+            iy0 = jnp.floor(iy).astype(jnp.int32)
+            wx1 = ix - ix0
+            wy1 = iy - iy0
+            oob = ~((ix0 >= -1) & (ix0 <= w - 1)
+                    & (iy0 >= -1) & (iy0 <= h - 1))
+            # clamp oob indices so tile planning ignores them
+            ix0c = jnp.clip(ix0, -1, w - 1)
+            iy0c = jnp.clip(iy0, -1, h - 1)
+            iy0g, ix0g = group(iy0c), group(ix0c)
+            wy1g, wx1g = group(wy1), group(wx1)
+            oobg = group(oob.astype(jnp.float32))
+            big = jnp.int32(1 << 20)
+            iy_min = jnp.min(jnp.where(oobg > 0.5, big, iy0g), axis=1)
+            ix_min = jnp.min(jnp.where(oobg > 0.5, big, ix0g), axis=1)
+            ty = jnp.clip(iy_min + 1, 0, rows_tot - t_h)
+            tx_px = jnp.clip((ix_min + 1) // xq * xq, 0, wp_tot - t_px)
+            feats, valid = tg.triplane_gather_plane(
+                tables[p], iy0g, ix0g, wy1g, wx1g, oobg,
+                ty.astype(jnp.int32), (tx_px * c).astype(jnp.int32),
+                c=c, tile_h=t_h, tile_px=t_px)
+            # group-capacity fallback through the jnp block-gather path
+            miss_g = ~jnp.all(valid, axis=1)                  # (G,)
+            sel = jax.lax.slice_in_dim(
+                jnp.argsort(~miss_g), 0, g_cap)               # misses first
+            projg = group(proj[p])                            # (G, T, 2)
+            from nerf_siren_tpu.ops.grid_sample import grid_sample_2d_packed
+            fb = grid_sample_2d_packed(
+                packed[0, p][None],
+                projg[sel].reshape(1, g_cap * t_pts, 2))[0]
+            fb = fb.reshape(g_cap, t_pts, c).transpose(0, 2, 1)
+            take = jnp.where(miss_g[sel, None, None], fb, feats[sel])
+            feats = feats.at[sel].set(take)
+            outs.append(ungroup(feats))
+            miss_counts.append(jnp.sum(miss_g))
+            overflows.append(jnp.sum(miss_g) > g_cap)
+        sample.last_miss_groups = sum(miss_counts)
+        sample.last_miss_overflow = jnp.any(jnp.stack(overflows))
+        return jnp.stack(outs)[None]                          # (1, 3, M, C)
+
+    sample.last_miss_groups = None
+    sample.last_miss_overflow = None
+    return sample
+
+
 # -- OSGDecoder (reference: triplane.py:144-167) -------------------------------
 
 def init_osg_decoder(key, n_features: int = 32, hidden: int = 64,
@@ -268,11 +378,18 @@ def unify_samples(d1, c1, s1, d2, c2, s2):
 
 
 def run_model(planes, decoder_params, sample_coordinates, options: RenderingOptions,
-              density_noise_rng=None, packed: bool = False):
+              density_noise_rng=None, packed: bool = False, sampler=None,
+              n_samples: int = None):
     """(reference renderer.py:144-150). packed=True means `planes` is a
-    pack_planes_for_sampling table (the measured-faster gather layout)."""
-    sample = sample_from_packed_planes if packed else sample_from_planes
-    feats = sample(planes, sample_coordinates, options.box_warp)
+    pack_planes_for_sampling table (the measured-faster gather layout);
+    `sampler` (make_kernel_plane_sampler) overrides both with the Pallas
+    tile-gather kernel (n_samples = the per-ray sample count of this
+    pass, for footprint grouping)."""
+    if sampler is not None:
+        feats = sampler(sample_coordinates, n_samples)
+    else:
+        sample = sample_from_packed_planes if packed else sample_from_planes
+        feats = sample(planes, sample_coordinates, options.box_warp)
     out = apply_osg_decoder(decoder_params, feats)
     if options.density_noise > 0 and density_noise_rng is not None:
         out["sigma"] = out["sigma"] + jax.random.normal(
@@ -282,7 +399,7 @@ def run_model(planes, decoder_params, sample_coordinates, options: RenderingOpti
 
 def importance_render(planes, decoder_params, ray_origins, ray_directions,
                       options: RenderingOptions, rng=None,
-                      packed: bool = False):
+                      packed: bool = False, sampler=None):
     """Full coarse+fine triplane render (reference renderer.py:88-142).
 
     planes (N, 3, C, H, W) — or a pack_planes_for_sampling table when
@@ -314,7 +431,7 @@ def importance_render(planes, decoder_params, ray_origins, ray_directions,
     coords = (ray_origins[:, :, None, :] +
               depths_coarse * ray_directions[:, :, None, :]).reshape(n, -1, 3)
     out = run_model(planes, decoder_params, coords, options, k_noise1,
-                    packed=packed)
+                    packed=packed, sampler=sampler, n_samples=s)
     colors_coarse = out["rgb"].reshape(n, r, s, -1)
     densities_coarse = out["sigma"].reshape(n, r, s, 1)
 
@@ -326,7 +443,7 @@ def importance_render(planes, decoder_params, ray_origins, ray_directions,
     coords = (ray_origins[:, :, None, :] +
               depths_fine * ray_directions[:, :, None, :]).reshape(n, -1, 3)
     out = run_model(planes, decoder_params, coords, options, k_noise2,
-                    packed=packed)
+                    packed=packed, sampler=sampler, n_samples=n_imp)
     colors_fine = out["rgb"].reshape(n, r, n_imp, -1)
     densities_fine = out["sigma"].reshape(n, r, n_imp, 1)
 
