@@ -156,10 +156,25 @@ def _dot_i8(w, a):
                                preferred_element_type=jnp.int32)
 
 
-def _quant_dyn(v):
+# The r4 lever (docstring top): the per-layer (256, T) -> (1, T) absmax
+# reduce is most of the dynamic chain's overhead. DYN_STRIDE > 1 samples
+# every DYN_STRIDE-th activation row for the absmax (a (256/s, T) reduce)
+# and scales by DYN_SAFETY; rows whose true magnitude exceeds the sampled
+# bound saturate at ±127 (bounded error, measured as rendered agreement by
+# tools/int8_stride_check.py before adopting a default).
+DYN_STRIDE = 1
+DYN_SAFETY = 1.0
+
+
+def _quant_dyn(v, stride=1, safety=1.0):
     """Dynamic per-point (per-column) int8: returns (int8 (C, T), f32
     col scales (1, T)). Zero columns quantize to 0 at the guard scale."""
-    s = jnp.maximum(jnp.max(jnp.abs(v), axis=0, keepdims=True), 1e-9) / 127.0
+    sub = v
+    if stride > 1:
+        c, t = v.shape
+        sub = v.reshape(c // stride, stride, t)[:, 0, :]
+    s = jnp.maximum(jnp.max(jnp.abs(sub), axis=0, keepdims=True),
+                    1e-9) * (safety / 127.0)
     q = jnp.clip(jnp.round(v / s), -127.0, 127.0).astype(jnp.int8)
     return q, s
 
@@ -215,7 +230,7 @@ def _trunk_int8(refs, x_ref, depth, skips, parts=2):
             layer = wave - p
             if 1 <= layer <= depth - 1:
                 h_f = jax.nn.relu(ys[p] + refs[f"b{layer-1}"][...])
-                hq, sh = _quant_dyn(h_f)
+                hq, sh = _quant_dyn(h_f, DYN_STRIDE, DYN_SAFETY)
                 hs[p] = hq
                 ys[p] = stage(layer, hq, sh, xqs[p], sxs[p], eqs[p])
     out = []
