@@ -157,6 +157,10 @@ def get_opts(args=None):
                              'disagrees with the checkpoint would silently '
                              'leave the classifier at random init (the '
                              'prefix load skips shape-mismatched leaves)')
+    parser.add_argument('--point_norm', type=str, default='frob',
+                        choices=['frob', 'rms'],
+                        help="semantic cloud normalization (must match "
+                             "training; see opt.py --point_norm)")
     parser.add_argument('--point_capacity', type=int, default=8192,
                         help='fixed point-cloud capacity for the semantic '
                              'network (render_rays_3d top-K redesign)')
@@ -412,6 +416,7 @@ def main(hparams):
                           point_capacity=hparams.point_capacity,
                           no_grad_on_nerf=False, points_apply=points_apply,
                           compute_dtype=compute_dtype,
+                          point_norm=hparams.point_norm,
                           cls_threshold=hparams.cls_threshold)
 
         if hparams.renderer == 'fast':
@@ -465,6 +470,7 @@ def main(hparams):
                         out.pop('w_samples'),
                         n_classes=hparams.n_classes, threshold=threshold,
                         point_capacity=hparams.point_capacity,
+                        point_norm=hparams.point_norm,
                         points_apply=points_apply)
                     return out
 

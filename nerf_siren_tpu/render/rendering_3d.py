@@ -49,8 +49,18 @@ def semantic_from_weights(
     threshold: float,
     point_capacity: int,
     points_apply: Callable = apply_pointnet_dense_cls,
+    point_norm: str = "frob",
 ) -> jax.Array:
-    """Steps 1-5 above → composited (R, n_classes) log-prob field."""
+    """Steps 1-5 above → composited (R, n_classes) log-prob field.
+
+    point_norm: 'frob' (default) divides xyz by the Frobenius norm of the
+    whole valid cloud — the reference's quirk (rendering.py:364-365),
+    which makes the coordinate SCALE depend on the valid-point COUNT, so
+    a training batch's cloud (a few thousand rays) and an eval frame's
+    cloud (a full image) feed PointNet differently-scaled coordinates.
+    'rms' divides by the per-point RMS (frob/sqrt(count)) — count-
+    invariant; measured against 'frob' by tools/semantic_convergence.py.
+    """
     r, s, _ = xyz.shape
     n = r * s
     k = min(point_capacity, n)
@@ -70,6 +80,9 @@ def semantic_from_weights(
     # Frobenius norm of the valid cloud, as a constant (reference detaches)
     sq = jnp.sum(xyz_sel ** 2, axis=-1) * valid
     norm = jax.lax.stop_gradient(jnp.sqrt(jnp.maximum(jnp.sum(sq), 1e-12)))
+    if point_norm == "rms":
+        count = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+        norm = norm / jax.lax.stop_gradient(jnp.sqrt(count))
     pts = jnp.concatenate([xyz_sel / norm, rgb_sel], axis=-1)  # (K, 6)
 
     preds = points_apply(points_params, pts, valid)            # (K, C) log-probs
@@ -95,6 +108,7 @@ def render_rays_3d(
     compute_dtype=None,
     points_apply: Callable = apply_pointnet_dense_cls,
     cls_threshold: Optional[float] = None,
+    point_norm: str = "frob",
 ) -> Dict[str, jax.Array]:
     """Render rgb + depth + per-ray class log-prob maps.
 
@@ -150,7 +164,8 @@ def render_rays_3d(
         result["cls_coarse"] = semantic_from_weights(
             params["points"], xyz_coarse, raw[..., :3], comp["weights"],
             n_classes=n_classes, threshold=threshold,
-            point_capacity=point_capacity, points_apply=points_apply)
+            point_capacity=point_capacity, points_apply=points_apply,
+            point_norm=point_norm)
         weights_coarse = comp["weights"]
 
     if cfg.n_importance > 0:
@@ -169,6 +184,7 @@ def render_rays_3d(
         result["cls_fine"] = semantic_from_weights(
             params["points"], xyz_fine, raw[..., :3], comp["weights"],
             n_classes=n_classes, threshold=threshold,
-            point_capacity=point_capacity, points_apply=points_apply)
+            point_capacity=point_capacity, points_apply=points_apply,
+            point_norm=point_norm)
 
     return result

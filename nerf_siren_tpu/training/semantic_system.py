@@ -43,12 +43,16 @@ class NeRF3DSystem(NeRFSystem):
         n_classes: int = 6,
         point_capacity: int = 8192,
         no_grad_on_nerf: bool = True,
+        point_norm: str = "frob",
     ):
         super().__init__(render_cfg, train_cfg, nerf_cfg, steps_per_epoch, mesh)
         self.semantic_network = semantic_network
         self.n_classes = n_classes
         self.point_capacity = point_capacity
         self.no_grad_on_nerf = no_grad_on_nerf
+        # 'rms' = count-invariant cloud normalization (see
+        # render/rendering_3d.semantic_from_weights); 'frob' = reference
+        self.point_norm = point_norm
         if semantic_network == "pointnet":
             from nerf_siren_tpu.models.pointnet import apply_pointnet_dense_cls
             self._points_apply = apply_pointnet_dense_cls
@@ -78,6 +82,7 @@ class NeRF3DSystem(NeRFSystem):
             point_capacity=self.point_capacity,
             no_grad_on_nerf=self.no_grad_on_nerf,
             points_apply=self._points_apply,
+            point_norm=self.point_norm,
         )
 
         def train_step(state: TrainState, rays, rgbs, rng, cls_target):
@@ -153,7 +158,8 @@ class NeRF3DSystem(NeRFSystem):
                rng=None) -> Dict[str, np.ndarray]:
         """Chunked semantic render (adds cls maps to the output dict)."""
         cfg = self.render_cfg.replace(test_time=test_time, perturb=0.0, noise_std=0.0)
-        sem_kwargs = dict(n_classes=self.n_classes, point_capacity=self.point_capacity,
+        sem_kwargs = dict(n_classes=self.n_classes, point_norm=self.point_norm,
+                          point_capacity=self.point_capacity,
                           no_grad_on_nerf=False, points_apply=self._points_apply)
         if self._render_fn is None:
             @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -190,6 +196,7 @@ class NeRF3DSystem(NeRFSystem):
             sem_kwargs = dict(n_classes=self.n_classes,
                               point_capacity=self.point_capacity,
                               no_grad_on_nerf=False,
+                              point_norm=self.point_norm,
                               points_apply=self._points_apply)
 
             @functools.partial(jax.jit, static_argnames=("cfg",))

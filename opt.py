@@ -19,6 +19,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('-sn', '--semantic_network', type=str, default='pointnet',
                         choices=['pointnet', 'conv3d'],
                         help='network for semantic features (d3 modes)')
+    parser.add_argument('--point_norm', type=str, default='frob',
+                        choices=['frob', 'rms'],
+                        help='semantic point-cloud coordinate normalization: '
+                             "'frob' divides xyz by the whole cloud's "
+                             'Frobenius norm (reference quirk, '
+                             'rendering.py:364-365 — scale depends on the '
+                             "valid-point COUNT); 'rms' is the "
+                             'count-invariant per-point RMS variant '
+                             '(measured by tools/semantic_convergence.py)')
     parser.add_argument('--field', type=str, default='mlp',
                         choices=['mlp', 'siren'],
                         help='radiance field: positional-encoding MLP or '

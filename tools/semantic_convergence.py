@@ -63,7 +63,12 @@ def main():
                          "field generalizes between poses (3 train views "
                          "overfit to ~16 dB val)")
     ap.add_argument("--networks", type=str, nargs="+",
-                    default=["pointnet", "conv3d"])
+                    default=["pointnet", "pointnet:rms", "conv3d"],
+                    help="network[:point_norm] variants; 'pointnet:rms' "
+                         "tests the count-invariant cloud normalization "
+                         "against the reference's Frobenius quirk "
+                         "(rendering.py:364-365) — the r4 VERDICT's named "
+                         "suspect for the pointnet-vs-conv3d gap")
     ap.add_argument("--out", type=str,
                     default=os.path.join(REPO, "docs/semantic_convergence.json"))
     args = ap.parse_args()
@@ -99,8 +104,10 @@ def main():
         key=_step_key)[-1]
     results["field_pretrain_wall_s"] = round(pre_s, 1)
 
-    for net in args.networks:
-        exp = f"semconv_{net}"
+    for spec in args.networks:
+        net, _, pnorm = spec.partition(":")
+        pnorm = pnorm or "frob"
+        exp = f"semconv_{net}_{pnorm}"
         train_cmd = [
             sys.executable, os.path.join(REPO, "train.py"),
             "--root_dir", scene, "--dataset_name", "replica",
@@ -111,6 +118,7 @@ def main():
             "--batch_size", "1024", "--num_epochs", str(args.epochs),
             "--lr", "1e-3", "--decay_step", "100",
             "--pretrained", field_ckpt,
+            "--point_norm", pnorm,
             "--exp_name", exp,
         ]
         out, train_s = run(train_cmd, workdir)
@@ -132,6 +140,7 @@ def main():
             # hand-typed count would silently leave the classifier at
             # random init via the non-strict prefix load
             "--semantic_network", net, "--point_capacity", "8192",
+            "--point_norm", pnorm,
         ]
         out_e, eval_s = run(eval_cmd, workdir)
         m = re.search(r"Mean class accuracy: ([\d.]+) mIoU: ([\d.]+)", out_e)
@@ -141,9 +150,41 @@ def main():
                "rendered_class_acc": float(m.group(1)) if m else None,
                "miou": float(m.group(2)) if m else None,
                "psnr": float(p.group(1)) if p else None}
-        results["networks"][net] = row
-        print(f"[{net}] acc={row['rendered_class_acc']} miou={row['miou']} "
+        results["networks"][spec] = row
+        print(f"[{spec}] acc={row['rendered_class_acc']} miou={row['miou']} "
               f"psnr={row['psnr']} (train {train_s:.0f}s)", flush=True)
+
+        if net == "pointnet":
+            # d3-over-fast quality artifact (VERDICT r4 weak #6): same
+            # checkpoint through the fast survivor path, then per-pixel
+            # agreement of the fast class maps with the exact ones
+            import numpy as _np
+            import imageio.v2 as _iio
+            fast_cmd = [c for c in eval_cmd]
+            fast_cmd[fast_cmd.index("--scene_name") + 1] = exp + "_fast"
+            fast_cmd += ["--renderer", "fast", "--fast_candidates", "32",
+                         "--fast_keep", "16", "--fast_distill_steps", "300",
+                         "--cls_threshold", "0.0"]
+            try:
+                out_f, _ = run(fast_cmd, workdir)
+                agree = []
+                for fpath in sorted(globmod.glob(os.path.join(
+                        workdir, "results", "replica", exp, "r_*.png"))):
+                    fname = os.path.basename(fpath)
+                    gpath = os.path.join(workdir, "results", "replica",
+                                         exp + "_fast", fname)
+                    if not os.path.exists(gpath):
+                        continue
+                    a = _np.asarray(_iio.imread(fpath))
+                    b = _np.asarray(_iio.imread(gpath))
+                    agree.append(float((a == b).mean()))
+                row["fast_cls_agreement"] = (float(_np.mean(agree))
+                                             if agree else None)
+                print(f"[{spec}] d3-over-fast cls agreement: "
+                      f"{row['fast_cls_agreement']}", flush=True)
+            except Exception as e:  # keep the main artifact on failure
+                row["fast_cls_agreement_error"] = str(e)[:300]
+                print(f"[{spec}] d3-fast agreement FAILED: {e}", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -66,6 +66,7 @@ def build_system(hparams, white_back: bool, steps_per_epoch: int, n_classes: int
 
         system = NeRF3DSystem(render_cfg, train_cfg, nerf_cfg, steps_per_epoch, mesh,
                               semantic_network=hparams.semantic_network,
+                              point_norm=getattr(hparams, 'point_norm', 'frob'),
                               n_classes=n_classes or 6)
     elif hparams.mode == "eg3d":
         from nerf_siren_tpu.render.triplane import RenderingOptions, TriPlaneConfig
