@@ -269,6 +269,64 @@ def worker(partial_path: str) -> None:
     fast_i8, fast_i8_lat = time_fast(32, 16, field_pack=packed_i8)
     sec["fast_path_int8_conservative_rays_per_sec"] = round(fast_i8, 1)
     sec["fast_p50_frame_latency_int8_conservative_s"] = round(fast_i8_lat, 4)
+    _checkpoint(partial_path, out)
+
+    # ---- round-5 HEADLINE: auto-cull + silhouette-edge refinement --------
+    # The operating point that meets the driver's quality definition
+    # (±0.1 dB vs the exact render): the frontier rows measure dGT +0.003
+    # mean over 8 poses on the converged cluster scene at this exact config
+    # (docs/fast_frontier_cluster.json edge_refined_configs, K=16
+    # cap=0.02 int8). Here: throughput on a RASTER 800² frame (edge
+    # detection is an image-space pass, so the frame must be a real
+    # camera raster, unlike the random-direction tiles above).
+    try:
+        from nerf_siren_tpu.render.fast import (make_auto_cull_renderer,
+                                                make_edge_refined_renderer)
+        focal = 0.5 * 800 / np.tan(0.5 * 0.6911112)
+        ii, jj = np.meshgrid(np.arange(W), np.arange(H))
+        dirs_r = np.stack([(ii - W / 2) / focal, -(jj - H / 2) / focal,
+                           -np.ones_like(ii)], -1).astype(np.float32)
+        dirs_r = dirs_r.reshape(-1, 3)
+        raster = np.concatenate(
+            [np.zeros((n_rays_frame, 3), np.float32)
+             + np.asarray([0, 0, 4.0], np.float32), dirs_r,
+             np.full((n_rays_frame, 1), 2.0, np.float32),
+             np.full((n_rays_frame, 1), 6.0, np.float32)], -1)
+        raster_dev = jnp.asarray(raster)
+        auto = make_auto_cull_renderer(
+            params, proxy, n_candidates=32, n_keep=16, nerf_cfg=nerf_cfg,
+            white_back=True, scene_aabb=aabb, packed_params=packed_i8,
+            packed_proxy=packed_proxy, margin=1.2, prepass_candidates=16,
+            placement="mid", opacity_eps="auto")
+        er = make_edge_refined_renderer(
+            auto, packed, (H, W), nerf_cfg=nerf_cfg, white_back=True,
+            cap_frac=0.02)
+
+        def er_frame(rd):
+            return jnp.sum(er(rd)["rgb_fine"])
+
+        for _ in range(8):            # budget + program warmup
+            float(er_frame(raster_dev))
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            chk = er_frame(raster_dev)
+        float(chk)
+        er_dt = (time.perf_counter() - t0) / n_iters
+        er_rate = n_rays_frame / er_dt / n_chips
+        sec["fast_path_edge_refined_auto_int8_rays_per_sec"] = round(er_rate, 1)
+        sec["fast_p50_frame_latency_edge_refined_s"] = round(er_dt, 4)
+        sec["headline_note"] = (
+            "value = the edge-refined auto-cull fast renderer (C32/K16 "
+            "int8 trunk + exact-lite 48+16 edge pass, cap 2%) — the "
+            "configuration measured AT the ±0.1 dB parity bar on the "
+            "converged cluster scene (docs/fast_frontier_cluster.json "
+            "edge_refined_configs: dGT vs exact +0.003 dB mean over 8 "
+            "poses). exact_*_rays_per_sec below remain the strict "
+            "bit-parity surface")
+        out["value"] = round(er_rate, 1)
+        out["vs_baseline"] = round(er_rate / TARGET, 4)
+    except Exception as e:  # headline falls back to the exact-path value
+        sec["fast_path_edge_refined_error"] = str(e)[:400]
     sec["fast_path_note"] = (
         "proxy-culled renderer (render/fast.py): fused Pallas proxy-march "
         "kernel + fused Pallas model eval. This bench measures THROUGHPUT "

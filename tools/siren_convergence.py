@@ -47,6 +47,11 @@ def main():
                     help="SIREN learning rate (pi-GAN-style FiLM fields "
                     "prefer ~1e-4; the MLP anchor keeps the reference 5e-4)")
     ap.add_argument("--out", type=str, default="docs/siren_convergence.json")
+    ap.add_argument("--sweep", action="store_true",
+                    help="3x3 (box_warp x lr) SIREN tuning sweep at "
+                         "--steps each (VERDICT r4 item 5: the +2.1 dB "
+                         "headline rested on one box_warp/lr point); "
+                         "merges 'sweep' rows into the output JSON")
     args = ap.parse_args()
     spheres = SCENES[args.scene]
 
@@ -82,6 +87,64 @@ def main():
     results = {"steps": args.steps, "scene": args.scene,
                "siren_box_warp": args.siren_box_warp,
                "siren_lr": args.siren_lr, "fields": {}}
+
+    def train_eval(field, lr, box_warp, steps):
+        system = NeRFSystem(
+            RenderConfig(n_samples=64, n_importance=64, perturb=1.0,
+                         noise_std=1.0, white_back=True),
+            TrainConfig(lr=lr, batch_size=4096, decay_step=(100,),
+                        num_epochs=1),
+            NeRFConfig(), steps_per_epoch=steps, field_type=field,
+            siren_box_warp=box_warp)
+        state = system.init_state(jax.random.PRNGKey(0))
+        chunk = args.scan_chunk or 1
+        done, chunk_times = 0, []
+        rays_d = jnp.asarray(all_rays)
+        rgbs_d = jnp.asarray(all_rgbs)
+        bs = system.train_cfg.batch_size
+        m = None
+        while done < steps:
+            n = min(chunk, steps - done)
+            tc = time.perf_counter()
+            if args.scan_chunk:
+                state, m = system.train_scan(state, rays_d, rgbs_d,
+                                             jax.random.PRNGKey(done), n)
+            else:
+                key = jax.random.PRNGKey(done)
+                idx = jax.random.randint(key, (bs,), 0, rays_d.shape[0])
+                state, m = system.train_step(
+                    state, {"rays": rays_d[idx], "rgbs": rgbs_d[idx]},
+                    jax.random.fold_in(key, 1))
+            float(m["train/loss"])
+            chunk_times.append((time.perf_counter() - tc) / n)
+            done += n
+        steady = float(np.median(chunk_times[2:])) if len(chunk_times) > 3 \
+            else float(chunk_times[-1])
+        out = system.render(state.params, rays_e)
+        p = psnr(np.asarray(out["rgb_fine"]).reshape(-1, 3), gt_e)
+        return {"train_psnr": float(m["train/psnr"]),
+                "eval_psnr_vs_gt": p, "steady_step_s": steady}
+
+    if args.sweep:
+        import json as _json
+        rows = []
+        for bw in (2.2, 4.4, 8.8):
+            for lr in (5e-5, 1e-4, 5e-4):
+                r = train_eval("siren", lr, bw, args.steps)
+                r.update({"box_warp": bw, "lr": lr})
+                rows.append(r)
+                print(f"[sweep] bw={bw} lr={lr}: eval "
+                      f"{r['eval_psnr_vs_gt']:.2f} dB (train "
+                      f"{r['train_psnr']:.2f})", flush=True)
+        merged = {}
+        if os.path.exists(args.out):
+            merged = _json.load(open(args.out))
+        merged["sweep"] = {"steps": args.steps, "rows": rows}
+        with open(args.out, "w") as f:
+            _json.dump(merged, f, indent=1)
+        print(f"wrote {args.out} (sweep)")
+        return
+
     for field in args.fields:
         lr = args.siren_lr if field == "siren" else 5e-4
         system = NeRFSystem(
