@@ -236,8 +236,13 @@ def make_kernel_plane_sampler(packed: jax.Array, box_warp: float,
             outs.append(ungroup(feats))
             miss_counts.append(jnp.sum(miss_g))
             overflows.append(jnp.sum(miss_g) > g_cap)
-        sample.last_miss_groups = sum(miss_counts)
-        sample.last_miss_overflow = jnp.any(jnp.stack(overflows))
+        miss_total = sum(miss_counts)
+        if not isinstance(miss_total, jax.core.Tracer):
+            # diagnostics only outside jit: the factory may run INSIDE a
+            # jitted frame (planes synthesized per frame), where storing
+            # tracers on the function object would leak them
+            sample.last_miss_groups = miss_total
+            sample.last_miss_overflow = jnp.any(jnp.stack(overflows))
         return jnp.stack(outs)[None]                          # (1, 3, M, C)
 
     sample.last_miss_groups = None
