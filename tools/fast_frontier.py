@@ -617,16 +617,19 @@ def main():
     edge_sweep = []
     if args.edge_only:
         # (base, K, cap_frac, lite_ns, lite_ni, eps, int8)
+        # sweep #2 (worst-pose push): cap didn't move worst-pose
+        # (0.02 -> 0.03 measured -0.215 -> -0.225), base K did
+        # (K8 -0.367 -> K16 -0.215) — so probe richer lite passes and a
+        # K=24 base rather than wider bands
+        # sweep #3: lite 64+24 fixed the worst pose (-0.104 vs -0.215 at
+        # 48+16 — the residual was the lite pass's importance count, not
+        # the edge cap or base K); int8 twins + a cap-margin probe + K12
         edge_sweep = [
-            ("auto", 8, 0.03, 48, 16, "auto", False),
-            ("auto", 12, 0.03, 48, 16, "auto", False),
-            ("auto", 16, 0.02, 48, 16, "auto", False),
-            ("auto", 16, 0.03, 48, 16, "auto", False),
-            ("plain", 8, 0.03, 48, 16, None, False),
-            ("plain", 16, 0.02, 48, 16, None, False),
-            ("auto", 8, 0.03, 48, 16, "auto", True),
-            ("auto", 12, 0.03, 48, 16, "auto", True),
-            ("auto", 16, 0.02, 48, 16, "auto", True),
+            ("auto", 16, 0.02, 64, 24, "auto", True),
+            ("auto", 16, 0.03, 64, 24, "auto", False),
+            ("auto", 12, 0.02, 64, 24, "auto", True),
+            ("auto", 12, 0.02, 64, 24, "auto", False),
+            ("auto", 16, 0.02, 64, 32, "auto", False),
         ]
     pose_rays_dev_e = [jnp.asarray(p["rays"]) for p in poses]
     packed_i8 = None
