@@ -36,6 +36,14 @@ def get_opts(args=None):
     parser.add_argument('--eg3d_ray_start', type=float, default=0.1)
     parser.add_argument('--eg3d_ray_end', type=float, default=10.0)
     parser.add_argument('--eg3d_box_warp', type=float, default=15.0)
+    parser.add_argument('--plane_sampler', type=str, default='gather',
+                        choices=['gather', 'kernel'],
+                        help="'kernel' samples the triplanes through the "
+                             "Pallas tile-gather kernel "
+                             "(ops/pallas/triplane_gather.py) instead of "
+                             "the jnp block-gather table — exact-path "
+                             "eval accelerator for raster frames "
+                             "(docs/triplane_gather_bench.json)")
     parser.add_argument('--renderer', type=str, default='exact',
                         choices=['exact', 'fast'],
                         help='fast: proxy-culled K-sample renderer '
@@ -108,7 +116,8 @@ def main(hparams):
     if hparams.num_chips > 0:
         devices = devices[:hparams.num_chips]
     system = EG3DSystem(RenderConfig(), TrainConfig(), steps_per_epoch=1,
-                        triplane_cfg=tri_cfg, mesh=make_mesh(devices=devices))
+                        triplane_cfg=tri_cfg, mesh=make_mesh(devices=devices),
+                        plane_sampler=hparams.plane_sampler)
     params = system.init_params(jax.random.PRNGKey(0))
     params['eg3d_renderer'] = load_ckpt(params['eg3d_renderer'],
                                         hparams.ckpt_path, 'eg3d_renderer')

@@ -45,11 +45,16 @@ class EG3DSystem:
         steps_per_epoch: int = 1000,
         mesh: Optional[Mesh] = None,
         triplane_cfg: Optional[TriPlaneConfig] = None,
+        plane_sampler: str = "gather",
     ):
         self.render_cfg = render_cfg
         self.train_cfg = train_cfg
         self.cfg = triplane_cfg if triplane_cfg is not None else TriPlaneConfig()
         self.steps_per_epoch = steps_per_epoch
+        # 'gather' = jnp bf16 block-gather table; 'kernel' = the Pallas
+        # triplane tile-gather sampler (ops/pallas/triplane_gather.py) —
+        # eval-only (no VJP), measured in docs/triplane_gather_bench.json
+        self.plane_sampler = plane_sampler
         self.mesh = mesh if mesh is not None else make_mesh()
         self.tx = get_optimizer(train_cfg, steps_per_epoch)
         self.lr_schedule = make_lr_schedule(train_cfg, steps_per_epoch)
@@ -202,11 +207,17 @@ class EG3DSystem:
                 # on a reference-config frame (measured on-chip) — far
                 # above eval significance (tests/test_triplane.py)
                 planes = pack_planes_for_sampling(planes, jnp.bfloat16)
+                sampler = None
+                if self.plane_sampler == "kernel":
+                    from nerf_siren_tpu.render.triplane import (
+                        make_kernel_plane_sampler)
+                    sampler = make_kernel_plane_sampler(
+                        planes, cfg.rendering.box_warp, tiles.shape[1])
 
                 def tile(t):
                     (rgb_c, d_c, w_c, rgb_f, d_f, w_f) = importance_render(
                         planes, p["decoder"], t[None, :, 0:3], t[None, :, 3:6],
-                        cfg.rendering, None, packed=True)
+                        cfg.rendering, None, packed=True, sampler=sampler)
                     out = {"rgb_coarse": rgb_c, "depth_coarse": d_c,
                            "opacity_coarse": w_c, "rgb_fine": rgb_f,
                            "depth_fine": d_f, "opacity_fine": w_f}

@@ -113,3 +113,39 @@ def test_importance_render_with_kernel_sampler():
                                      "rgb_f", "d_f", "o_f")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    err_msg=name)
+
+
+def test_eg3d_system_render_kernel_sampler_matches_gather():
+    """EG3DSystem.render(plane_sampler='kernel') reproduces the gather
+    path's frame (same bf16 table feeds both; tiny planes always fit one
+    tile, so no fallback ambiguity)."""
+    from nerf_siren_tpu.config import RenderConfig, TrainConfig
+    from nerf_siren_tpu.render.triplane import (RenderingOptions,
+                                                TriPlaneConfig)
+    from nerf_siren_tpu.training.eg3d_system import EG3DSystem
+
+    tiny = TriPlaneConfig(
+        z_dim=32, w_dim=32, plane_resolution=16, plane_channels=8,
+        mapping_layers=2, channel_base=512, channel_max=32,
+        rendering=RenderingOptions(depth_resolution=8,
+                                   depth_resolution_importance=8,
+                                   ray_start=0.5, ray_end=4.0, box_warp=4.0))
+
+    def mk(sampler):
+        return EG3DSystem(RenderConfig(), TrainConfig(), steps_per_epoch=1,
+                          triplane_cfg=tiny, plane_sampler=sampler)
+
+    sys_g = mk("gather")
+    params = sys_g.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    d = rng.normal(size=(64, 3)).astype(np.float32) * 0.1
+    d[:, 2] -= 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.broadcast_to(np.array([0, 0, 2.5], np.float32), d.shape)
+    rays = np.concatenate([o, d], -1)
+
+    ref = mk("gather").render(params, rays, chunk=64)
+    got = mk("kernel").render(params, rays, chunk=64)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=2e-4, rtol=1e-3, err_msg=k)
