@@ -514,13 +514,17 @@ def main(hparams):
             fast_cull = (hparams.fast_cull if hparams.fast_cull == 'auto'
                          else float(hparams.fast_cull))
 
+        auto_mesh = None
         if fast_cull == 'auto' and hparams.num_chips != 1 \
                 and len(jax.devices()) > 1:
-            raise SystemExit(
-                '--fast_cull auto is frame-temporal (per-frame budget '
-                'state) and does not compose with --num_chips yet; use '
-                '--num_chips with the plain fast path (drop --fast_cull) '
-                'or render auto-cull single-chip')
+            # per-shard budgets over the data mesh: each chip ranks/culls
+            # its contiguous slab; the host sizes the next frame's static
+            # budget from the max across shards (render/fast.py mesh mode,
+            # equality-tested in tests/test_mesh_render.py)
+            from nerf_siren_tpu.parallel.mesh import make_mesh
+            n_chips = hparams.num_chips if hparams.num_chips > 0 else None
+            devices = jax.devices()[:n_chips] if n_chips else jax.devices()
+            auto_mesh = make_mesh(devices=devices)
         if fast_cull == 'auto':
             from nerf_siren_tpu.render.fast import make_auto_cull_renderer
             auto_render = make_auto_cull_renderer(
@@ -536,7 +540,8 @@ def main(hparams):
                              else float(hparams.fast_opacity_eps)),
                 prepass_candidates=hparams.fast_prepass,
                 placement=hparams.fast_placement,
-                quadrature=hparams.fast_quadrature)
+                quadrature=hparams.fast_quadrature,
+                mesh=auto_mesh)
 
             def render(params, rays):
                 return auto_render(rays)

@@ -745,6 +745,7 @@ def make_auto_cull_renderer(
     prepass_candidates: Optional[int] = None,
     placement: str = "mid",
     quadrature: str = "delta",
+    mesh=None,
 ) -> Callable[[jax.Array], Dict[str, jax.Array]]:
     """Frame-global empty-ray culling at ray-BLOCK granularity.
 
@@ -839,19 +840,40 @@ def make_auto_cull_renderer(
                   select="pdf", packed_params=packed_params,
                   packed_proxy=packed_proxy, model=model, quadrature=quadrature)
 
+    n_dev = 1 if mesh is None else mesh.shape["data"]
+
+    def _wrap(run):
+        """jit single-device; shard_map over the data mesh otherwise —
+        per-shard budgets (VERDICT r4 item 2): every shard ranks/culls its
+        own contiguous slab, budget scalars come back per shard, and the
+        host sizes the next frame's static budget from the MAX across
+        shards (conservative: sparse shards render a few extra background
+        blocks, quality is never at risk)."""
+        if mesh is None:
+            return jax.jit(run)
+        from jax.sharding import PartitionSpec as P
+
+        from nerf_siren_tpu.parallel.shard_train import shard_map_compat
+        return jax.jit(shard_map_compat(
+            run, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data"), P("data"))))
+
     @functools.lru_cache(maxsize=None)
     def frame_program(n_act_b: int, chunk_b: int, rp: int, r: int):
+        # rp/r: per-shard padded rows / GLOBAL valid count (shards compare
+        # global row ids against r, so the last shard masks its padding)
         nblocks = rp // block
         bg = 1.0 if white_back else 0.0
 
-        @jax.jit
         def run(rays, eps_in):
             # pad INSIDE the program: on the tunneled runtime every eager
             # dispatch (pad, output slices) costs a host round trip
+            eps_in = eps_in.reshape(())
+            gid0 = 0 if mesh is None else jax.lax.axis_index("data") * rp
             rays8 = jnp.pad(rays, ((0, rp - rays.shape[0]), (0, 0)))
             opac = proxy_march.proxy_opacity(
                 packed_proxy, rays8.T, prepass_c)            # (Rp,)
-            opac = jnp.where(jnp.arange(rp) < r, opac, -1.0)
+            opac = jnp.where(jnp.arange(rp) + gid0 < r, opac, -1.0)
             score = jnp.max(opac.reshape(nblocks, block), axis=1)
             order = jnp.argsort(-score)                      # (nblocks,)
             act = rays8.reshape(nblocks, block * 8)[order[:n_act_b]]
@@ -874,7 +896,7 @@ def make_auto_cull_renderer(
                 # include the cull boundary, exactly where calibration
                 # matters; if no empty rays rendered, keep the old eps.
                 bid = order[:n_act_b]
-                rid = bid[:, None] * block + jnp.arange(block)[None]
+                rid = bid[:, None] * block + jnp.arange(block)[None] + gid0
                 valid = (rid < r).reshape(-1)
                 act_pre = opac.reshape(nblocks, block)[order[:n_act_b]]
                 pre_flat = act_pre.reshape(-1)
@@ -937,13 +959,15 @@ def make_auto_cull_renderer(
             # the numerator of the field->proxy ratio plain mode uses for
             # exit detection
             rid_act = (order[:n_act_b][:, None] * block
-                       + jnp.arange(block)[None]).reshape(-1)
+                       + jnp.arange(block)[None] + gid0).reshape(-1)
             vis = (out[f"opacity_{model}"] > 0.01) & (rid_act < r)
             n_vis_b = jnp.sum(jnp.any(vis.reshape(n_act_b, block), axis=1))
-            return ({f"rgb_{model}": rgb[:r], f"depth_{model}": depth[:r],
-                     f"opacity_{model}": opacity[:r]},
-                    n_fg_b, eps_next, n_vis_b)
-        return run
+            r_local = rp if mesh is not None else r
+            return ({f"rgb_{model}": rgb[:r_local],
+                     f"depth_{model}": depth[:r_local],
+                     f"opacity_{model}": opacity[:r_local]},
+                    n_fg_b[None], eps_next[None], n_vis_b[None])
+        return _wrap(run)
 
     @functools.lru_cache(maxsize=None)
     def plain_program(n_act_b: int, chunk_b: int, rp: int, r: int):
@@ -967,8 +991,9 @@ def make_auto_cull_renderer(
         and transition frames render every block (zero quality risk)."""
         nblocks = n_act_b
 
-        @jax.jit
         def run(rays, eps_in):
+            eps_in = eps_in.reshape(())
+            gid0 = 0 if mesh is None else jax.lax.axis_index("data") * rp
             rays8 = jnp.pad(rays, ((0, rp - rays.shape[0]), (0, 0)))
             tiles = rays8.reshape(nblocks // chunk_b, chunk_b * block, 8)
             out = jax.lax.map(
@@ -976,10 +1001,19 @@ def make_auto_cull_renderer(
                 tiles)
             out = {k: v.reshape(rp, *v.shape[2:]) for k, v in out.items()}
             vis = ((out[f"opacity_{model}"] > 0.01)
-                   & (jnp.arange(rp) < r))
+                   & (jnp.arange(rp) + gid0 < r))
             n_vis_b = jnp.sum(jnp.any(vis.reshape(nblocks, block), axis=1))
-            return ({k: v[:r] for k, v in out.items()}, n_vis_b, eps_in)
-        return run
+            r_local = rp if mesh is not None else r
+            return ({k: v[:r_local] for k, v in out.items()},
+                    n_vis_b[None], eps_in[None])
+        if mesh is None:
+            return jax.jit(run)
+        from jax.sharding import PartitionSpec as P
+
+        from nerf_siren_tpu.parallel.shard_train import shard_map_compat
+        return jax.jit(shard_map_compat(
+            run, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=(P("data"), P("data"), P("data"))))
 
     auto_eps = opacity_eps == "auto"
     # Dense-frame bypass thresholds (round 4, VERDICT r3 item 4): at high
@@ -1004,7 +1038,8 @@ def make_auto_cull_renderer(
     # to estimate the proxy-space active fraction without a prepass
     budget = {"n_fg_b": None, "n_vis_b": None, "plain": False, "ratio": 1.0,
               "plain_run": 0,
-              "eps": None if auto_eps else jnp.float32(opacity_eps)}
+              "eps": None if auto_eps
+              else jnp.full((n_dev,), float(opacity_eps), jnp.float32)}
     # field->proxy ratio ceiling: with n_vis_b==0 on the measuring culled
     # frame the raw ratio degenerates to n_fg_b (ADVICE r4) and a scene
     # that turns sparse could stay pinned in plain mode; the proxy
@@ -1016,7 +1051,13 @@ def make_auto_cull_renderer(
 
     def render(rays: jax.Array) -> Dict[str, jax.Array]:
         r = rays.shape[0]
-        rp = r + (-r % tile)
+        # mesh mode: rp is PER-SHARD padded rows; budget scalars come back
+        # per shard, and static program sizes are the conservative MAX
+        if n_dev > 1:
+            per = -(-r // n_dev)
+            rp = -(-per // tile) * tile
+        else:
+            rp = r + (-r % tile)
         nblocks = rp // block
         # budget quantum in blocks; chunk_b*block stays a TILE_R multiple
         quantum_b = -(-nblocks // (levels * blocks_per_tile)) * blocks_per_tile
@@ -1032,8 +1073,8 @@ def make_auto_cull_renderer(
             # and the field->proxy ratio via the real prepass
             n_act_b = nblocks
             if budget["eps"] is None:
-                budget["eps"] = jnp.float32(2.0)  # frame-1 fallback: cull
-                # nothing until the full render has calibrated a real eps
+                budget["eps"] = jnp.full((n_dev,), 2.0, jnp.float32)
+                # frame-1 fallback: cull nothing until calibrated
         elif budget["plain"]:
             # exit check on the PREVIOUS plain frame's vis count — a
             # deferred fetch of an already-computed scalar, NOT a sync on
@@ -1049,16 +1090,21 @@ def make_auto_cull_renderer(
                 # every block) and re-measures budget/eps/ratio
                 plain = False
             elif budget["n_vis_b"] is not None:
-                est_fg_b = int(budget["n_vis_b"]) * budget["ratio"]
+                import numpy as _np
+                est_fg_b = float(_np.max(
+                    _np.asarray(budget["n_vis_b"], _np.float64)
+                    * budget["ratio"]))
                 if quantized_act(est_fg_b) / nblocks < PLAIN_EXIT:
                     # scene turned sparse: run the FULL culled program NOW
                     # (renders every block; re-measures budget/eps/ratio)
                     plain = False
         else:
-            n_fg_b = int(budget["n_fg_b"])      # deferred, cheap fetch
-            n_vis_b = int(budget["n_vis_b"])
-            budget["ratio"] = min(n_fg_b / max(n_vis_b, 1), RATIO_MAX)
-            n_act_b = quantized_act(n_fg_b)
+            import numpy as _np
+            fg_arr = _np.asarray(budget["n_fg_b"], _np.float64)   # deferred
+            vis_arr = _np.asarray(budget["n_vis_b"], _np.float64)
+            budget["ratio"] = _np.minimum(
+                fg_arr / _np.maximum(vis_arr, 1.0), RATIO_MAX)
+            n_act_b = quantized_act(int(fg_arr.max()))
             plain = n_act_b / nblocks >= PLAIN_ENTER
         budget["plain"] = plain
         if not plain:
@@ -1075,12 +1121,23 @@ def make_auto_cull_renderer(
         else:
             chunk_b = quantum_b
         rays_j = jnp.asarray(rays, jnp.float32)  # pad/slice live in-program
+        if n_dev > 1:
+            # host-pad to the global padded size and shard the slabs; every
+            # shard's program pads its own slab tail no further (rp rows)
+            from nerf_siren_tpu.parallel.mesh import shard_rays
+            rays_j = jnp.pad(rays_j, ((0, rp * n_dev - r), (0, 0)))
+            rays_j = shard_rays(rays_j, mesh)
+            eps_dev = shard_rays(jnp.asarray(budget["eps"]), mesh)
+        else:
+            eps_dev = jnp.asarray(budget["eps"])
         if plain:
             out, budget["n_vis_b"], _ = plain_program(
-                n_act_b, chunk_b, rp, r)(rays_j, budget["eps"])
+                n_act_b, chunk_b, rp, r)(rays_j, eps_dev)
         else:
             out, budget["n_fg_b"], budget["eps"], budget["n_vis_b"] = \
-                frame_program(n_act_b, chunk_b, rp, r)(rays_j, budget["eps"])
+                frame_program(n_act_b, chunk_b, rp, r)(rays_j, eps_dev)
+        if n_dev > 1:
+            out = {k: v[:r] for k, v in out.items()}
         for key in ("n_fg_b", "n_vis_b"):
             # start the host copy NOW (async, completes when the frame
             # does): next frame's int() then reads a host-resident value

@@ -129,3 +129,48 @@ def test_culled_fused_backend_mesh_size_invariant():
                                float(m1["train/loss"]), rtol=2e-2)
     state8, m8 = sys8.train_step(state8, batch, key)
     assert np.isfinite(float(m8["train/loss"]))
+
+
+def test_auto_cull_renderer_on_mesh_matches_single():
+    """make_auto_cull_renderer(mesh=...) — per-shard budgets over the
+    8-device mesh (VERDICT r4 item 2's auto-cull clause): frame output
+    matches the single-device auto renderer across a 2-frame budget
+    warmup (first frame renders everything on both; second runs at the
+    measured budget)."""
+    from nerf_siren_tpu.ops.pallas import fused_mlp, proxy_march
+    from nerf_siren_tpu.ops.pallas.proxy_march import pack_proxy_params
+    from nerf_siren_tpu.render.fast import (init_proxy,
+                                            make_auto_cull_renderer)
+
+    old_n, old_r = fused_mlp.TILE_N, proxy_march.TILE_R
+    fused_mlp.TILE_N = 128
+    proxy_march.TILE_R = 256
+    try:
+        cfg = NeRFConfig()
+        params = {"fine": init_nerf(jax.random.PRNGKey(0), cfg)}
+        packed = fused_mlp.pack_model_params(params, cfg)
+        proxy = init_proxy(jax.random.PRNGKey(1))
+        packed_proxy = pack_proxy_params(proxy)
+        rays = _rays(4000, seed=2)   # odd count: both pads exercised
+
+        def mk(mesh):
+            return make_auto_cull_renderer(
+                params, proxy, n_candidates=16, n_keep=4, nerf_cfg=cfg,
+                white_back=True, scene_aabb=([-2] * 3, [2] * 3),
+                packed_params=packed, packed_proxy=packed_proxy,
+                prepass_candidates=8, block=128, mesh=mesh)
+
+        single = mk(None)
+        meshed = mk(make_mesh())
+        for frame in range(2):
+            ref = single(rays)
+            got = meshed(rays)
+            for k in ref:
+                a, b = np.asarray(got[k]), np.asarray(ref[k])
+                assert a.shape == b.shape, (k, a.shape, b.shape)
+                agree = np.isclose(a, b, atol=1e-4)
+                assert agree.mean() > 0.98, \
+                    f"frame {frame} {k}: agreement {agree.mean():.3f}"
+    finally:
+        fused_mlp.TILE_N = old_n
+        proxy_march.TILE_R = old_r
