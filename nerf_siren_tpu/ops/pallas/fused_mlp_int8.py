@@ -160,8 +160,18 @@ def _dot_i8(w, a):
 # reduce is most of the dynamic chain's overhead. DYN_STRIDE > 1 samples
 # every DYN_STRIDE-th activation row for the absmax (a (256/s, T) reduce)
 # and scales by DYN_SAFETY; rows whose true magnitude exceeds the sampled
-# bound saturate at ±127 (bounded error, measured as rendered agreement by
-# tools/int8_stride_check.py before adopting a default).
+# bound saturate at ±127.
+#
+# MEASURED NEGATIVE (round 5, docs/int8_stride.json, trained cluster
+# field, on-chip): the strided reduce does not even speed the kernel —
+# stride 2/4/8 run 0.92/1.02/1.07x the bf16 chain vs the FULL reduce's
+# 1.10x (the reshape-slice costs what the saved reduction rows save;
+# Mosaic's cross-sublane max was not the bottleneck) — while rendered
+# agreement collapses (45.2 dB full -> 36.8 @ s2, 27.0 @ s4, 18.6 @ s8;
+# safety 1.25 does not rescue it: trained trunks have heavy-tailed
+# per-channel outliers, exactly why static scales failed in r4). The
+# named r4 lever is dead; 1.09-1.10x in-kernel at zero quality cost is
+# the honest dynamic-int8 operating point. Knobs kept for reproduction.
 DYN_STRIDE = 1
 DYN_SAFETY = 1.0
 
