@@ -77,8 +77,11 @@ def _gather_kernel(ty_ref, tx_ref, pts_ref, table_ref, feats_ref, valid_ref,
                    tile, sem, *, tile_h, tile_px, c):
     """One group: DMA tile, one-hot y-matmul, unrolled x-lerp."""
     g = pl.program_id(0)
-    ty = ty_ref[g]
-    txl = tx_ref[g]                    # x origin in LANES (texel*c)
+    # origins arrive in QUANTIZED units (rows/8, lanes/128) and are scaled
+    # here so Mosaic can PROVE the memref slice offsets divisible by the
+    # (8, 128) tiling — raw i32 offsets fail its divisibility analysis
+    ty = ty_ref[g] * 8
+    txl = tx_ref[g] * 128              # x origin in LANES (texel*c)
     dma = pltpu.make_async_copy(
         table_ref.at[pl.ds(ty, tile_h), pl.ds(txl, tile_px * c)],
         tile, sem)
@@ -141,7 +144,8 @@ def triplane_gather_plane(
 
     table: pack_plane_rowmajor output (Hp, Wp*C).
     iy0/ix0/wy1/wx1/oob: (G, T) per-point bilinear data (plane indices).
-    ty/txl: (G,) int32 tile origins (rows / lanes, lane multiple of 128).
+    ty/txl: (G,) int32 tile origins in QUANTIZED units — rows/8 and
+    lanes/128 (the kernel rescales; keeps Mosaic's divisibility proof).
     Returns feats (G, C, T) f32 and valid (G, T) bool — valid=False points
     must be resampled by the caller (group footprint exceeded the tile).
     """

@@ -215,11 +215,16 @@ def make_kernel_plane_sampler(packed: jax.Array, box_warp: float,
             big = jnp.int32(1 << 20)
             iy_min = jnp.min(jnp.where(oobg > 0.5, big, iy0g), axis=1)
             ix_min = jnp.min(jnp.where(oobg > 0.5, big, ix0g), axis=1)
-            ty = jnp.clip(iy_min + 1, 0, rows_tot - t_h)
-            tx_px = jnp.clip((ix_min + 1) // xq * xq, 0, wp_tot - t_px)
+            # origins quantized: rows to 8 (sublane tiling), lanes to 128
+            # — Mosaic requires provably tiled dynamic-slice offsets
+            ty = jnp.clip((iy_min + 1) // 8 * 8, 0, (rows_tot - t_h) // 8 * 8)
+            lane_q = max(xq, -(-128 // c))
+            tx_px = jnp.clip((ix_min + 1) // lane_q * lane_q, 0,
+                             (wp_tot - t_px) // lane_q * lane_q)
             feats, valid = tg.triplane_gather_plane(
                 tables[p], iy0g, ix0g, wy1g, wx1g, oobg,
-                ty.astype(jnp.int32), (tx_px * c).astype(jnp.int32),
+                (ty // 8).astype(jnp.int32),
+                (tx_px * c // 128).astype(jnp.int32),
                 c=c, tile_h=t_h, tile_px=t_px)
             # group-capacity fallback through the jnp block-gather path
             miss_g = ~jnp.all(valid, axis=1)                  # (G,)
