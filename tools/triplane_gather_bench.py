@@ -91,6 +91,9 @@ def main():
                 packed, box_warp, R, S, rb=rb, sb=sb, tile_h=th, tile_px=tpx)
             kfn = jax.jit(lambda cds, s=sampler: s(cds))
             _, t_k = timeit(kfn, coords)
+            # miss stats only materialize on an EAGER call (the sampler
+            # guards its diagnostics against tracer leaks under jit)
+            sampler(coords)
             miss = int(np.asarray(sampler.last_miss_groups))
             over = bool(np.asarray(sampler.last_miss_overflow))
             row = {"rb": rb, "sb": sb, "tile_h": th, "tile_px": tpx,
