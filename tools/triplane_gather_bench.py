@@ -110,8 +110,10 @@ def main():
                 {"rb": rb, "sb": sb, "tile_h": th, "tile_px": tpx,
                  "error": str(e)[:500]})
 
-    # numeric agreement of the best kernel config vs the jnp path
-    best = max((r for r in results["kernel"] if "samples_per_sec" in r),
+    # numeric agreement of the best CORRECT kernel config vs the jnp path
+    # (overflowing-miss configs return zeros for the dropped groups)
+    best = max((r for r in results["kernel"]
+                if "samples_per_sec" in r and not r["miss_overflow"]),
                key=lambda r: r["samples_per_sec"], default=None)
     if best:
         sampler = make_kernel_plane_sampler(
