@@ -94,40 +94,23 @@ def render_rays_fused(
     z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
     s_all = cfg.n_samples + cfg.n_importance
 
-    # ---- fine full pass, LANE-MAJOR epilogue -------------------------------
-    # Round-5 attribution (docs/exact_breakdown.json): the point-major
-    # (R, 192) composite chain was 23.5% of frame time — narrow-lane
-    # relayouts plus a lane-axis cumprod. Flattening the fine points
-    # r-MINOR puts rays in lanes: every composite array is (S, R) with
-    # fully-packed 128-lane tiles and the transmittance cumprod runs along
-    # sublanes (the fast path's fused_pdf epilogue, render/fast.py, proven
-    # pattern). Same math per ray — parity pinned by
-    # tests/test_fused_mlp.py against the jnp renderer.
-    zT = z_all.T                                              # (S, R)
-    xyzT = pad_n((oT8[:, None, :] + dT8[:, None, :] * zT[None])
-                 .reshape(IN_ROWS, s_all * r))
-    dirT = pad_n(jnp.broadcast_to(dT8[:, None, :],
-                                  (IN_ROWS, s_all, r)).reshape(IN_ROWS,
-                                                               s_all * r))
+    # ---- fine full pass, composited from row slices ------------------------
+    xyzT = pad_n(_coords_t(oT8, dT8, z_all))
+    dirT = pad_n(jnp.broadcast_to(dT8[:, :, None],
+                                  (IN_ROWS, r, s_all)).reshape(IN_ROWS, r * s_all))
     out8 = full_fine(packed["fine"], xyzT, dirT, depth=depth, skips=skips)
-    out8 = out8[:, : s_all * r]
-    sig_sr = jax.nn.relu(out8[SIGMA_ROW].reshape(s_all, r))
-    dirn_t = dir_norm.T                                       # (1, R)
-    deltas = jnp.concatenate(
-        [zT[1:] - zT[:-1], jnp.full((1, r), 1e10, zT.dtype)], axis=0) * dirn_t
-    alphas = 1.0 - jnp.exp(-deltas * sig_sr)
-    trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=0)
-    trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]], axis=0)
-    w_sr = alphas * trans                                     # (S, R)
-    opacity = jnp.sum(w_sr, axis=0)
-    rgb_sr = out8[:3].reshape(3, s_all, r)
-    rgb = jnp.einsum("sr,csr->rc", w_sr, rgb_sr)
+    out8 = out8[:, : r * s_all]
+    sig_f = out8[SIGMA_ROW].reshape(r, s_all)
+    comp_f = composite(sig_f, z_all, dir_norm)
+    w = comp_f["weights"]                                     # (R, S)
+    rgbT = out8[:3].reshape(3, r, s_all)
+    rgb = jnp.sum(w[None, :, :] * rgbT, axis=-1).T            # (R, 3)
     if cfg.white_back:
-        rgb = rgb + (1.0 - opacity[:, None])
+        rgb = rgb + (1.0 - comp_f["opacity"][:, None])
 
     return {
         "opacity_coarse": comp_c["opacity"],
         "rgb_fine": rgb,
-        "depth_fine": jnp.sum(w_sr * zT, axis=0),
-        "opacity_fine": opacity,
+        "depth_fine": jnp.sum(w * z_all, axis=-1),
+        "opacity_fine": comp_f["opacity"],
     }
