@@ -280,8 +280,7 @@ def worker(partial_path: str) -> None:
     # detection is an image-space pass, so the frame must be a real
     # camera raster, unlike the random-direction tiles above).
     try:
-        from nerf_siren_tpu.render.fast import (make_auto_cull_renderer,
-                                                make_edge_refined_renderer)
+        from nerf_siren_tpu.render.fast import make_edge_refined_renderer
         focal = 0.5 * 800 / np.tan(0.5 * 0.6911112)
         ii, jj = np.meshgrid(np.arange(W), np.arange(H))
         dirs_r = np.stack([(ii - W / 2) / focal, -(jj - H / 2) / focal,
@@ -293,13 +292,25 @@ def worker(partial_path: str) -> None:
              np.full((n_rays_frame, 1), 2.0, np.float32),
              np.full((n_rays_frame, 1), 6.0, np.float32)], -1)
         raster_dev = jnp.asarray(raster)
-        auto = make_auto_cull_renderer(
-            params, proxy, n_candidates=32, n_keep=16, nerf_cfg=nerf_cfg,
-            white_back=True, scene_aabb=aabb, packed_params=packed_i8,
-            packed_proxy=packed_proxy, margin=1.2, prepass_candidates=16,
-            placement="mid", opacity_eps="auto")
+        # base = fixed cull 0.5: on this random-init bench scene the auto
+        # budget collapses to ~nothing (nothing renders foreground), which
+        # would overstate the headline ~2.5x; a pinned 50% active fraction
+        # reproduces the trained cluster scene's measured auto-cull cost
+        # structure (active_frac ~0.5 at the frontier headline rows)
+        @jax.jit
+        def cull_base(rays):
+            tiles2 = rays.reshape(-1, chunk, 8)
+            out = jax.lax.map(
+                lambda t: render_rays_fast(
+                    params, proxy, t, n_candidates=32, n_keep=16,
+                    nerf_cfg=nerf_cfg, white_back=True, scene_aabb=aabb,
+                    select="pdf", packed_params=packed_i8,
+                    packed_proxy=packed_proxy, cull=0.5), tiles2)
+            return {k: v.reshape(n_rays_frame, *v.shape[2:])
+                    for k, v in out.items()}
+
         er = make_edge_refined_renderer(
-            auto, packed, (H, W), nerf_cfg=nerf_cfg, white_back=True,
+            cull_base, packed, (H, W), nerf_cfg=nerf_cfg, white_back=True,
             cap_frac=0.02)
 
         def er_frame(rd):
@@ -313,11 +324,11 @@ def worker(partial_path: str) -> None:
         float(chk)
         er_dt = (time.perf_counter() - t0) / n_iters
         er_rate = n_rays_frame / er_dt / n_chips
-        sec["fast_path_edge_refined_auto_int8_rays_per_sec"] = round(er_rate, 1)
+        sec["fast_path_edge_refined_cull05_int8_rays_per_sec"] = round(er_rate, 1)
         sec["fast_p50_frame_latency_edge_refined_s"] = round(er_dt, 4)
         sec["headline_note"] = (
-            "value = the edge-refined auto-cull fast renderer (C32/K16 "
-            "int8 trunk + exact-lite 48+16 edge pass, cap 2%) — the "
+            "value = the edge-refined fast renderer (C32/K16 int8 trunk, "
+            "pinned 50% cull + exact-lite 48+16 edge pass, cap 2%) — the "
             "configuration measured AT the ±0.1 dB parity bar on the "
             "converged cluster scene (docs/fast_frontier_cluster.json "
             "edge_refined_configs: dGT vs exact +0.003 dB mean over 8 "
