@@ -32,11 +32,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBE = r"""
 import sys, time
 import numpy as np, jax, jax.numpy as jnp
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 from nerf_siren_tpu.config import NeRFConfig, RenderConfig, TrainConfig
 from nerf_siren_tpu.training.system import NeRFSystem
 
-field, steps = {field!r}, {steps}
+field, steps = __FIELD__, __STEPS__
 rng = np.random.default_rng(0)
 n = 65536
 d = rng.normal(size=(n, 3)).astype(np.float32)
@@ -66,7 +66,18 @@ print(f"OK steps={steps} field={field} wall={time.perf_counter()-t0:.1f}s "
 
 
 def main():
-    results = {"probes": []}
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max_est", type=int, default=10**9,
+                    help="skip probes whose estimated single-program device "
+                    "time exceeds this many seconds. Use to bracket the "
+                    "fault boundary from below WITHOUT triggering a fault "
+                    "when a wedged tunnel is unaffordable (e.g. before a "
+                    "driver bench run): --max_est 55 runs everything under "
+                    "the known siren-500 fault (~73 s) and records the "
+                    "skipped probes in the artifact.")
+    args = ap.parse_args()
+    results = {"probes": [], "skipped": []}
     # (field, steps, expected single-program device seconds @ r4 step times)
     probes = [
         ("mlp", 500, 10),       # known good
@@ -79,7 +90,17 @@ def main():
         ("mlp", 4000, 80),      # duration-matched MLP probe
     ]
     for field, steps, est in probes:
-        code = PROBE.format(repo=REPO, field=field, steps=steps)
+        if est > args.max_est:
+            results["skipped"].append(
+                {"field": field, "steps": steps, "est_device_s": est,
+                 "reason": f"est {est}s > --max_est {args.max_est}s "
+                 "(fault-wedge risk deliberately not taken)"})
+            print(f"{field:5s} steps={steps:5d} (~{est}s program): SKIPPED "
+                  f"(--max_est {args.max_est})", flush=True)
+            continue
+        code = (PROBE.replace("__REPO__", repr(REPO))
+                .replace("__FIELD__", repr(field))
+                .replace("__STEPS__", str(steps)))
         t0 = time.time()
         p = subprocess.run([sys.executable, "-c", code], capture_output=True,
                            text=True, timeout=1800)
