@@ -275,7 +275,7 @@ def test_auto_cull_eps_self_calibration(proxy):
     np.testing.assert_allclose(np.asarray(first["rgb_fine"]),
                                np.asarray(plain["rgb_fine"]),
                                rtol=0, atol=1e-6)
-    eps1 = float(np.asarray(auto.last_eps))
+    eps1 = float(np.asarray(auto.last_eps).reshape(()))
     had_empty = bool(np.any(np.asarray(plain["opacity_fine"]) < 0.01))
     if had_empty:                            # calibrated within the clamp
         assert 1e-4 <= eps1 <= 0.95
@@ -289,7 +289,7 @@ def test_auto_cull_eps_self_calibration(proxy):
         np.testing.assert_allclose(
             rgb[~is_bg], np.asarray(plain["rgb_fine"])[~is_bg],
             rtol=0, atol=1e-6)
-        assert np.isfinite(float(np.asarray(auto.last_eps)))
+        assert np.isfinite(float(np.asarray(auto.last_eps).reshape(())))
 
 
 def test_auto_cull_no_empty_rays_keeps_cull_nothing(proxy):
